@@ -1,0 +1,131 @@
+"""Benchmark harness: batched VGP solves/s/chip at N=50 horizon.
+
+The BASELINE.json metric ("VGP solves/s/chip at N=50 horizon; p50
+receding-horizon solve latency"; north star 10k solves/s on a v5p-16,
+i.e. 625 solves/s/chip). Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+plus human-readable detail on stderr.
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from etol_tpu import batch_tile
+from etol_tpu.models import uas_2d
+from etol_tpu.solve import SolverConfig, al_sqp
+
+# north-star: 10k solves/s on a v5p-16 (16 chips) => 625 solves/s/chip
+BASELINE_PER_CHIP = 625.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_batch(nlp, data, B, key):
+    bdata = batch_tile(data, B)
+    kx, kg = jax.random.split(key)
+    # scatter starts/goals so every lane is a distinct problem
+    x0 = jnp.concatenate(
+        [
+            jax.random.uniform(kx, (B, 2), minval=-0.5, maxval=0.5),
+            jnp.zeros((B, 1)),
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+    xf = bdata.xf + jnp.concatenate(
+        [
+            jax.random.uniform(kg, (B, 2), minval=-0.5, maxval=0.5),
+            jnp.zeros((B, 1)),
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+    return dataclasses.replace(bdata, x0=x0, xf=xf)
+
+
+def main():
+    B = int(os.environ.get("BENCH_BATCH", "1024"))
+    nsteps = int(os.environ.get("BENCH_NSTEPS", "50"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    vgp, nlp = uas_2d(nsteps=nsteps)
+    data, dims = vgp.to_device()
+    cfg = SolverConfig(max_outer=8, max_inner=20)
+    bdata = make_batch(nlp, data, B, jax.random.PRNGKey(0))
+
+    def run(d):
+        res = al_sqp.solve_batched.__wrapped__(nlp, cfg, d, None, None)
+        return res.z, res.obj, res.status, res.viol_eq, res.viol_in
+
+    runj = jax.jit(run)
+
+    t0 = time.time()
+    out = runj(bdata)
+    jax.block_until_ready(out)
+    log(f"compile+first run: {time.time()-t0:.1f}s")
+    status = np.asarray(out[2])
+    solved = float((status == 1).mean())
+    log(f"solved fraction: {solved:.3f}  max viol: "
+        f"{float(np.max(np.asarray(out[3]))):.2e}/"
+        f"{float(np.max(np.asarray(out[4]))):.2e}")
+
+    times = []
+    for i in range(iters):
+        d = make_batch(nlp, data, B, jax.random.PRNGKey(i + 1))
+        jax.block_until_ready(d)
+        t0 = time.time()
+        out = runj(d)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    t_med = float(np.median(times))
+    solves_per_s = B / t_med
+    log(f"batch={B} N={nsteps} median batch time {t_med*1e3:.1f}ms "
+        f"-> {solves_per_s:.0f} solves/s/chip")
+
+    # p50 receding-horizon latency: warm-started single-problem re-solve
+    res = al_sqp.solve(nlp, cfg, data)
+    jax.block_until_ready(res.z)
+    lat = []
+    lam = (res.lam_def, res.lam_eq, res.mu)
+    for i in range(20):
+        d2 = dataclasses.replace(
+            data, x0=data.x0 + jnp.float32(0.01 * (i + 1))
+        )
+        t0 = time.time()
+        r = al_sqp.solve(nlp, cfg, d2, res.z, lam)
+        jax.block_until_ready(r.z)
+        lat.append(time.time() - t0)
+    p50 = float(np.median(lat)) * 1e3
+    log(f"p50 warm MPC re-solve latency: {p50:.2f}ms")
+
+    print(
+        json.dumps(
+            {
+                "metric": "uas2d_n50_solves_per_s_per_chip",
+                "value": round(solves_per_s, 2),
+                "unit": "solves/s/chip",
+                "vs_baseline": round(solves_per_s / BASELINE_PER_CHIP, 3),
+                "extras": {
+                    "batch": B,
+                    "nsteps": nsteps,
+                    "solved_fraction": solved,
+                    "p50_mpc_latency_ms": round(p50, 3),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

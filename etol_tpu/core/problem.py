@@ -1,0 +1,312 @@
+"""The Vehicle Guidance Problem (VGP) as a JAX pytree.
+
+TPU-native rebuild of the reference's problem container
+(``TrajectoryOptimizer`` fields + setters, TrajectoryOptimizer.hpp:326-649):
+the mutable C++ object full of ``std::list``s becomes
+
+* :class:`VGP` — a host-side builder with the same knobs (bounds, x0/xf,
+  obstacles, tracks, params), plus
+* :class:`VGPData` — an immutable pytree of fixed-shape arrays that is the
+  *actual* problem as seen by the compiled solver. Batching thousands of
+  problems = stacking ``VGPData`` leaves along a leading axis and ``vmap``-ing
+  the solver (the reference solves exactly one problem per process;
+  cf. SURVEY.md §2a).
+
+Variable-count features (obstacle corners, convex pieces, track waypoints)
+are padded to static maxima and masked, because XLA requires static shapes.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import geometry
+from .types import Dims, ParamConfig, VarType
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TrackData:
+    """Moving exclusion zones ("tracks", ETOL_Types.hpp:102-105) as padded
+    arrays. ``times``/``xy`` hold per-track waypoint schedules; centers at
+    query time are linearly interpolated exactly like the reference examples
+    (etol_psopt_example1.cpp:233-246)."""
+
+    times: jax.Array   # [T, W]
+    xy: jax.Array      # [T, W, 2]
+    radius: jax.Array  # [T]
+    mask: jax.Array    # [T] 1.0 where the track exists
+
+    @staticmethod
+    def empty(max_tracks: int, max_waypoints: int, dtype=jnp.float32):
+        T, W = max(max_tracks, 1), max(max_waypoints, 2)
+        return TrackData(
+            times=jnp.zeros((T, W), dtype),
+            xy=jnp.zeros((T, W, 2), dtype),
+            radius=jnp.zeros((T,), dtype),
+            mask=jnp.zeros((T,), dtype),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ObstacleData:
+    """Static polygonal exclusion zones in two device-friendly forms.
+
+    * ``ellipses``: per-edge exclusion ellipses (rows cx, cy, cos, sin, asq,
+      bsq) — the smooth NLP formulation (etol_psopt_example1.cpp:159-187).
+    * ``halfspaces``: per-convex-piece outward halfspaces (nx, ny, b) — the
+      disjunctive "escape through at least one side" structure of the MILP
+      backends (eGLPK.cpp:190-246) in normal form.
+    """
+
+    ellipses: jax.Array       # [E, 6]
+    ellipse_mask: jax.Array   # [E]
+    halfspaces: jax.Array     # [P, H, 3]
+    hs_mask: jax.Array        # [P, H]
+    piece_mask: jax.Array     # [P]
+
+    @staticmethod
+    def empty(max_e: int, max_p: int, max_h: int, dtype=jnp.float32):
+        E, P, H = max(max_e, 1), max(max_p, 1), max(max_h, 1)
+        return ObstacleData(
+            ellipses=jnp.zeros((E, 6), dtype),
+            ellipse_mask=jnp.zeros((E,), dtype),
+            halfspaces=jnp.zeros((P, H, 3), dtype),
+            hs_mask=jnp.zeros((P, H), dtype),
+            piece_mask=jnp.zeros((P,), dtype),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VGPData:
+    """One VGP (or, with a leading batch axis on every leaf, a batch of
+    them) as seen by the compiled solver."""
+
+    x0: jax.Array        # [nx] initial state
+    xf: jax.Array        # [nx] goal state
+    xtol: jax.Array      # [nx] goal tolerance band (mip_2d_ex1.xml:4-5)
+    x_lb: jax.Array      # [nx]
+    x_ub: jax.Array      # [nx]
+    u_lb: jax.Array      # [nu]
+    u_ub: jax.Array      # [nu]
+    dt: jax.Array        # [] step size
+    obstacles: ObstacleData
+    tracks: TrackData
+
+    @property
+    def dtype(self):
+        return self.x0.dtype
+
+    def astype(self, dtype) -> "VGPData":
+        return jax.tree.map(lambda a: a.astype(dtype), self)
+
+
+# ---------------------------------------------------------------------------
+# Host-side builder
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Track:
+    radius: float
+    times: List[float]
+    points: List[List[float]]  # [W][ndim]
+
+
+@dataclasses.dataclass
+class VGP:
+    """Host-side problem description with reference-parity knobs.
+
+    Mirrors the data the reference's ~70 getters/setters manage
+    (TrajectoryOptimizer.cpp:1655-1873). ``to_device`` freezes it into a
+    :class:`VGPData` + :class:`Dims` pair for compilation.
+    """
+
+    nsteps: int = 0
+    dt: float = 0.0
+    x_rhorizon: int = 0
+    u_rhorizon: int = 0
+    xnames: List[str] = dataclasses.field(default_factory=list)
+    unames: List[str] = dataclasses.field(default_factory=list)
+    x0: List[float] = dataclasses.field(default_factory=list)
+    xf: List[float] = dataclasses.field(default_factory=list)
+    xtol: List[float] = dataclasses.field(default_factory=list)
+    xlower: List[float] = dataclasses.field(default_factory=list)
+    xupper: List[float] = dataclasses.field(default_factory=list)
+    xvartype: List[VarType] = dataclasses.field(default_factory=list)
+    ulower: List[float] = dataclasses.field(default_factory=list)
+    uupper: List[float] = dataclasses.field(default_factory=list)
+    uvartype: List[VarType] = dataclasses.field(default_factory=list)
+    obstacles: List[np.ndarray] = dataclasses.field(default_factory=list)
+    tracks: List[Track] = dataclasses.field(default_factory=list)
+    params: Dict[str, ParamConfig] = dataclasses.field(default_factory=dict)
+    maximize: bool = False
+
+    # ---- reference-parity mutators ------------------------------------
+    @property
+    def nx(self) -> int:
+        return len(self.x0)
+
+    @property
+    def nu(self) -> int:
+        return len(self.ulower)
+
+    def add_exclusion_zone(self, corners: Sequence[Sequence[float]]) -> None:
+        """addExclZone (TrajectoryOptimizer.cpp:1642-1647)."""
+        self.obstacles.append(np.asarray(corners, dtype=np.float64)[:, :2])
+
+    def add_track(
+        self,
+        radius: float,
+        times: Sequence[float],
+        points: Sequence[Sequence[float]],
+    ) -> None:
+        """addAdjTrack (TrajectoryOptimizer.cpp:1649-1651)."""
+        self.tracks.append(
+            Track(float(radius), [float(t) for t in times],
+                  [list(map(float, p)) for p in points])
+        )
+
+    def add_params(self, items: Dict[str, ParamConfig]) -> None:
+        self.params.update(items)
+
+    @property
+    def horizon(self) -> float:
+        return self.nsteps * self.dt
+
+    # ---- regions (genRegion parity) -----------------------------------
+    def regions(self):
+        """Convex partition of every obstacle
+        (genRegion, TrajectoryOptimizer.cpp:84-159)."""
+        return [geometry.convex_partition(p) for p in self.obstacles]
+
+    # ---- freeze to device ---------------------------------------------
+    def dims(
+        self,
+        pad_ellipses: Optional[int] = None,
+        pad_pieces: Optional[int] = None,
+        pad_halfspaces: Optional[int] = None,
+        pad_tracks: Optional[int] = None,
+        pad_waypoints: Optional[int] = None,
+    ) -> Dims:
+        parts = self.regions()
+        n_e = sum(len(p) for p in self.obstacles)
+        pieces = [pc for region in parts for pc in region]
+        n_p = len(pieces)
+        n_h = max((len(pc) for pc in pieces), default=0)
+        n_t = len(self.tracks)
+        n_w = max((len(t.times) for t in self.tracks), default=2)
+        return Dims(
+            nx=self.nx,
+            nu=self.nu,
+            nsteps=self.nsteps,
+            rhorizon=max(self.x_rhorizon, 1),
+            max_ellipses=pad_ellipses if pad_ellipses is not None else n_e,
+            max_pieces=pad_pieces if pad_pieces is not None else n_p,
+            max_halfspaces=(
+                pad_halfspaces if pad_halfspaces is not None else n_h
+            ),
+            max_tracks=pad_tracks if pad_tracks is not None else n_t,
+            max_waypoints=(
+                pad_waypoints if pad_waypoints is not None else max(n_w, 2)
+            ),
+        )
+
+    def to_device(
+        self, dims: Optional[Dims] = None, dtype=jnp.float32
+    ) -> Tuple[VGPData, Dims]:
+        if dims is None:
+            dims = self.dims()
+        E = max(dims.max_ellipses, 1)
+        P = max(dims.max_pieces, 1)
+        H = max(dims.max_halfspaces, 1)
+        T = max(dims.max_tracks, 1)
+        W = max(dims.max_waypoints, 2)
+
+        ell = np.zeros((E, 6))
+        ell_mask = np.zeros((E,))
+        k = 0
+        for poly in self.obstacles:
+            rows = geometry.edge_ellipses(poly)
+            for r in rows:
+                if k >= E:
+                    raise ValueError("pad_ellipses too small")
+                ell[k] = r
+                ell_mask[k] = 1.0
+                k += 1
+
+        hs = np.zeros((P, H, 3))
+        hs_mask = np.zeros((P, H))
+        piece_mask = np.zeros((P,))
+        k = 0
+        for region in self.regions():
+            for piece in region:
+                if k >= P:
+                    raise ValueError("pad_pieces too small")
+                rows = geometry.piece_halfspaces(piece)
+                if len(rows) > H:
+                    raise ValueError("pad_halfspaces too small")
+                hs[k, : len(rows)] = rows
+                hs_mask[k, : len(rows)] = 1.0
+                piece_mask[k] = 1.0
+                k += 1
+
+        tt = np.zeros((T, W))
+        txy = np.zeros((T, W, 2))
+        tr = np.zeros((T,))
+        tmask = np.zeros((T,))
+        for i, trk in enumerate(self.tracks):
+            if i >= T:
+                raise ValueError("pad_tracks too small")
+            w = len(trk.times)
+            if w > W:
+                raise ValueError("pad_waypoints too small")
+            tt[i, :w] = trk.times
+            # pad by repeating the last waypoint so interpolation clamps
+            tt[i, w:] = trk.times[-1]
+            pts = np.asarray(trk.points)[:, :2]
+            txy[i, :w] = pts
+            txy[i, w:] = pts[-1]
+            tr[i] = trk.radius
+            tmask[i] = 1.0
+
+        f = lambda a: jnp.asarray(np.asarray(a), dtype=dtype)
+        data = VGPData(
+            x0=f(self.x0),
+            xf=f(self.xf),
+            xtol=f(self.xtol),
+            x_lb=f(self.xlower),
+            x_ub=f(self.xupper),
+            u_lb=f(self.ulower),
+            u_ub=f(self.uupper),
+            dt=f(self.dt),
+            obstacles=ObstacleData(
+                ellipses=f(ell),
+                ellipse_mask=f(ell_mask),
+                halfspaces=f(hs),
+                hs_mask=f(hs_mask),
+                piece_mask=f(piece_mask),
+            ),
+            tracks=TrackData(
+                times=f(tt), xy=f(txy), radius=f(tr), mask=f(tmask)
+            ),
+        )
+        return data, dims
+
+
+def stack(datas: Sequence[VGPData]) -> VGPData:
+    """Stack per-problem VGPData into a batch (leading axis)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *datas)
+
+
+def batch_tile(data: VGPData, batch: int) -> VGPData:
+    """Broadcast one problem into a batch of identical problems."""
+    return jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (batch,) + a.shape), data
+    )

@@ -1,0 +1,12 @@
+"""I/O: solver-state checkpointing (plus CSV/XML in :mod:`etol_tpu.core`).
+
+The reference has no checkpoint/resume (SURVEY.md §5) — its nearest
+analogs are XML config save/load and warm-start state retained inside
+Gurobi/SCIP between MPC re-solves. Here the full solver state (iterates,
+multipliers, penalties) is a pytree, so long batched runs checkpoint and
+resume exactly.
+"""
+
+from .checkpoint import load_checkpoint, save_checkpoint
+
+__all__ = ["save_checkpoint", "load_checkpoint"]

@@ -1,0 +1,271 @@
+"""The user-facing facade: problem container + solve lifecycle.
+
+Parity with the reference's abstract core class
+(``include/ETOL/TrajectoryOptimizer.hpp:27``, lifecycle ``setup() /
+solve() / debug() / close()`` at :39-54) — but where the reference
+dispatches to one of six solver plugins through type-erased callbacks,
+this facade compiles the problem once into a batched JAX program and runs
+the native AL-SQP.
+
+Differences by design (TPU-first):
+
+* Callbacks are plain JAX functions ``f(x, u, t, data)`` — one definition
+  serves values, gradients, Jacobians and batching (the reference needs a
+  dialect per backend, SURVEY.md §1).
+* ``solve()`` accepts a batch; per-problem status rides in the result
+  (the reference exits the process on failure).
+* The receding-horizon fast path (eGurobi change-flag machinery,
+  eGurobi.cpp:419-453,457-597) is :meth:`set_x0` + :meth:`mpc_step`:
+  mutating x0/xf swaps arrays of identical shape, so the jitted solve
+  re-invokes with zero retrace, warm-started from the shifted previous
+  solution.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import trajectory
+from .core.problem import VGP, VGPData
+from .core.types import Dims, Status
+from .core.xml_io import load_configs as _load, save_configs as _save
+from .solve import SolverConfig, SolveResult, al_sqp, solve as _solve
+from .transcribe.nlp import NLP
+
+
+class TrajectoryOptimizer:
+    """Problem container + native batched solver facade."""
+
+    def __init__(
+        self,
+        config: Optional[SolverConfig] = None,
+        dtype=jnp.float32,
+    ):
+        self.vgp = VGP()
+        self.config = config or SolverConfig()
+        self.dtype = dtype
+        self._dynamics: Optional[Callable] = None
+        self._objective: Optional[Callable] = None
+        self._terminal: Optional[Callable] = None
+        self._path_ineq: list = []
+        self._path_eq: list = []
+        self._maximize = False
+        self._scheme = "trapezoidal"
+        self._cost_form = "integral"
+        self.nlp: Optional[NLP] = None
+        self.data: Optional[VGPData] = None
+        self.dims: Optional[Dims] = None
+        self.result: Optional[SolveResult] = None
+        self._warm: Optional[Tuple] = None
+        self._solve_time = 0.0
+
+    # ---- configuration (reference setter parity) ----------------------
+    def load_configs(self, path: str) -> "TrajectooryOptimizer":
+        """XML problem load (loadConfigs, TrajectoryOptimizer.cpp:787)."""
+        self.vgp = _load(path)
+        return self
+
+    def save_configs(self, path: str) -> str:
+        """XML problem save (saveConfigs, TrajectoryOptimizer.cpp:1119)."""
+        return _save(self.vgp, path)
+
+    def set_dynamics(self, f: Callable) -> None:
+        """The reference's setGradient (TrajectoryOptimizer.hpp:545-553):
+        one JAX function xdot = f(x, u, t, data) instead of per-state
+        callbacks."""
+        self._dynamics = f
+
+    # reference name kept as an alias
+    set_gradient = set_dynamics
+
+    def set_objective(self, ell: Callable, form: str = "integral") -> None:
+        """setObjective parity (TrajectoryOptimizer.hpp:537-543);
+        ``form`` is "integral" (NLP backends) or "sum" (MILP backends)."""
+        self._objective = ell
+        self._cost_form = form
+
+    def set_terminal_cost(self, phi: Callable) -> None:
+        self._terminal = phi
+
+    def set_constraints(self, gs: Sequence[Callable]) -> None:
+        """setConstraints parity (TrajectoryOptimizer.hpp:555-561):
+        inequality callbacks g(x, u, t, data) <= 0. Obstacle/track
+        avoidance needs no callback — it is built in from the VGP's
+        exclusion zones."""
+        self._path_ineq = list(gs)
+
+    def add_eq_constraints(self, hs: Sequence[Callable]) -> None:
+        self._path_eq = list(hs)
+
+    def set_maximize(self, flag: bool) -> None:
+        """setMaximize parity (TrajectoryOptimizer.hpp:375)."""
+        self._maximize = bool(flag)
+
+    def set_scheme(self, scheme: str) -> None:
+        """Collocation scheme: euler (MILP difference-equation parity),
+        trapezoidal, hermite_simpson."""
+        self._scheme = scheme
+
+    # ---- lifecycle ----------------------------------------------------
+    def setup(self, pad: Optional[dict] = None) -> None:
+        """Freeze the problem into (NLP, VGPData) and build the jitted
+        solver. Parity: each backend's setup() transcription
+        (eGurobi.cpp:79-111) — but done once, symbolically."""
+        if self._dynamics is None:
+            raise ValueError("set_dynamics() required before setup()")
+        if self._objective is None:
+            raise ValueError("set_objective() required before setup()")
+        self.dims = self.vgp.dims(**(pad or {}))
+        self.data, _ = self.vgp.to_device(self.dims, dtype=self.dtype)
+        self.nlp = NLP(
+            dims=self.dims,
+            dynamics=self._dynamics,
+            running_cost=self._objective,
+            terminal_cost=self._terminal,
+            path_ineq=tuple(self._path_ineq),
+            path_eq=tuple(self._path_eq),
+            scheme=self._scheme,
+            cost_form=self._cost_form,
+            use_obstacles=bool(self.vgp.obstacles or self.vgp.tracks),
+            maximize=self._maximize,
+        )
+
+    def solve(self, warm: bool = False) -> SolveResult:
+        """Run the compiled solve. ``warm=True`` starts from the previous
+        solution and multipliers (MPC re-solve, §3.1 of SURVEY.md)."""
+        if self.nlp is None:
+            raise ValueError("setup() must run before solve()")
+        z0 = lam0 = None
+        if warm and self._warm is not None:
+            z0, lam0 = self._warm
+        t0 = time.time()
+        self.result = _solve(self.nlp, self.config, self.data, z0, lam0)
+        jax.block_until_ready(self.result.z)
+        self._solve_time = time.time() - t0
+        self._warm = (
+            self.result.z,
+            (self.result.lam_def, self.result.lam_eq, self.result.mu),
+        )
+        return self.result
+
+    def debug(self) -> str:
+        """Transcription summary dump — the analog of the backends'
+        debug() LP-file writes (eGLPK.cpp:258, eGurobi.cpp:127)."""
+        d = self.dims
+        lines = [
+            "etol-tpu transcription",
+            f"  nodes={d.nodes} nx={d.nx} nu={d.nu} nz={d.nz}",
+            f"  scheme={self._scheme} cost={self._cost_form}",
+            f"  ellipses={d.max_ellipses} pieces={d.max_pieces} "
+            f"tracks={d.max_tracks}",
+            f"  dtype={np.dtype(self.dtype).name}",
+        ]
+        if self.result is not None:
+            r = self.result
+            lines.append(
+                f"  status={Status(int(r.status)).name} "
+                f"obj={float(r.obj):.6f} viol={float(r.viol_eq):.2e}/"
+                f"{float(r.viol_in):.2e} iters={int(r.outer_iters)}/"
+                f"{int(r.inner_iters)}"
+            )
+        out = "\n".join(lines)
+        print(out)
+        return out
+
+    def close(self) -> None:
+        """Release references (close() parity, eSCIP.cpp:78-92 — here
+        the arrays are GC'd, nothing manual to free)."""
+        self.result = None
+        self._warm = None
+
+    # ---- results (reference getter parity) ----------------------------
+    def get_score(self) -> float:
+        """getScore (TrajectoryOptimizer.cpp:1655-1661)."""
+        return float(self.result.obj)
+
+    def get_status(self) -> Status:
+        return Status(int(self.result.status))
+
+    def _times(self):
+        return np.arange(self.dims.nodes) * float(self.vgp.dt)
+
+    def get_xtraj(self):
+        """getXtraj (TrajectoryOptimizer.cpp:1819-1825): (times [K],
+        states [K, nx])."""
+        X, _ = self.nlp.unpack(self.result.z)
+        return jnp.asarray(self._times(), X.dtype), X
+
+    def get_utraj(self):
+        _, U = self.nlp.unpack(self.result.z)
+        return jnp.asarray(self._times(), U.dtype), U
+
+    def save(self, traj, fp: str) -> str:
+        """CSV export (save, TrajectoryOptimizer.cpp:626-674)."""
+        return trajectory.save(traj, fp)
+
+    # ---- MPC fast path (changeX0/changeXf parity) ---------------------
+    def set_x0(self, x0: Sequence[float]) -> None:
+        """Swap the initial state without retracing (the eGurobi
+        x0_changed_ fast path, eGurobi.cpp:419-432,479-494)."""
+        self.vgp.x0 = list(map(float, x0))
+        self.data = dataclasses.replace(
+            self.data, x0=jnp.asarray(x0, self.dtype)
+        )
+
+    def set_xf(self, xf: Sequence[float]) -> None:
+        """changeXf parity (eGurobi.cpp:434-453,496-511)."""
+        self.vgp.xf = list(map(float, xf))
+        self.data = dataclasses.replace(
+            self.data, xf=jnp.asarray(xf, self.dtype)
+        )
+
+    def mpc_step(
+        self, x0_new: Sequence[float], advance_time: bool = True
+    ) -> SolveResult:
+        """One receding-horizon re-solve: new x0, warm start from the
+        previous solution shifted one step forward in time.
+
+        ``advance_time`` shifts the moving-obstacle waypoint schedules by
+        -dt so the re-solve's t=0 is "now" (the reference leaves track
+        realignment to the caller; here it is the default because the
+        shifted warm start only makes sense on the shifted clock)."""
+        if self.result is None:
+            raise ValueError("solve() once before mpc_step()")
+        self.set_x0(x0_new)
+        if advance_time and self.dims.max_tracks > 0:
+            trk = self.data.tracks
+            self.data = dataclasses.replace(
+                self.data,
+                tracks=dataclasses.replace(
+                    trk, times=trk.times - jnp.asarray(
+                        self.vgp.dt, trk.times.dtype
+                    )
+                ),
+            )
+        Z = self.result.z.reshape(self.dims.nodes, -1)
+        Zs = jnp.concatenate([Z[1:], Z[-1:]], axis=0)  # shift, hold last
+        lam = (
+            self.result.lam_def,
+            self.result.lam_eq,
+            self.result.mu,
+        )
+        t0 = time.time()
+        self.result = _solve(
+            self.nlp, self.config, self.data, Zs.reshape(-1), lam
+        )
+        jax.block_until_ready(self.result.z)
+        self._solve_time = time.time() - t0
+        self._warm = (
+            self.result.z,
+            (self.result.lam_def, self.result.lam_eq, self.result.mu),
+        )
+        return self.result
+
+    @property
+    def last_solve_seconds(self) -> float:
+        return self._solve_time

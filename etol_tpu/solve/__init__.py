@@ -1,0 +1,15 @@
+"""The native batched solver.
+
+One solver replaces the reference's six CPU plugins (eGLPK/eGurobi/eSCIP
+MILP transcriptions, ePSOPT/eDymos collocation NLP, eOMPL sampling;
+SURVEY.md §2 C4-C9): an augmented-Lagrangian Gauss-Newton SQP over the
+direct-collocation NLP, with a projected-Newton inner loop on box bounds
+and a block-tridiagonal KKT factorization exploiting the horizon structure.
+Everything is fixed-shape and `lax.while_loop`-driven, so the whole solve
+jits once and `vmap`s over problem batches.
+"""
+
+from .al_sqp import SolverConfig, SolveResult, solve, solve_batched
+from . import btridiag
+
+__all__ = ["SolverConfig", "SolveResult", "solve", "solve_batched", "btridiag"]

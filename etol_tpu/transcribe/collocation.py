@@ -1,0 +1,94 @@
+"""Direct-collocation defect construction.
+
+The reference delegates transcription to its solver plugins: difference
+equations in the MILP backends (one row per state per step, eGLPK.cpp:334+),
+Legendre collocation in PSOPT (ePSOPT.cpp:218-276) and Radau in Dymos
+(eDymos.cpp:443-535). Here transcription is a pure function of arrays:
+``defects(X, U, ...)`` returns every dynamics residual at once, ready for
+``vmap`` over a problem batch and for `jax.jacfwd`/`jax.grad` — no AD tapes,
+no per-node callback loops.
+
+Schemes:
+* ``euler``        x_{k+1} = x_k + dt f(x_{k+1}, u_{k+1}, t_{k+1})
+                   — matches the MILP examples' difference equation
+                   (etol_glpk_example1.cpp:113-129: x_k depends on u_k).
+* ``trapezoidal``  standard trapezoid rule.
+* ``hermite_simpson``  compressed Hermite–Simpson (3rd order), midpoint
+                   controls interpolated.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+# dynamics signature: f(x [nx], u [nu], t [], data) -> xdot [nx]
+DynamicsFn = Callable
+
+SCHEMES = ("euler", "trapezoidal", "hermite_simpson")
+
+
+def node_times(nsteps: int, dt, dtype=None):
+    k = jnp.arange(nsteps + 1, dtype=dtype or jnp.result_type(dt))
+    return k * dt
+
+
+def defects(
+    f: DynamicsFn,
+    X: jnp.ndarray,   # [K, nx] with K = nsteps+1
+    U: jnp.ndarray,   # [K, nu]
+    dt,
+    data,
+    scheme: str = "trapezoidal",
+) -> jnp.ndarray:
+    """All collocation defects, shape [nsteps, nx]; zero iff dynamically
+    feasible."""
+    K = X.shape[0]
+    ts = node_times(K - 1, dt, X.dtype)
+    fv = jax.vmap(lambda x, u, t: f(x, u, t, data))(X, U, ts)  # [K, nx]
+    if scheme == "euler":
+        return X[1:] - X[:-1] - dt * fv[1:]
+    if scheme == "trapezoidal":
+        return X[1:] - X[:-1] - (dt / 2.0) * (fv[:-1] + fv[1:])
+    if scheme == "hermite_simpson":
+        xm = 0.5 * (X[:-1] + X[1:]) + (dt / 8.0) * (fv[:-1] - fv[1:])
+        um = 0.5 * (U[:-1] + U[1:])
+        tm = 0.5 * (ts[:-1] + ts[1:])
+        fm = jax.vmap(lambda x, u, t: f(x, u, t, data))(xm, um, tm)
+        return X[1:] - X[:-1] - (dt / 6.0) * (fv[:-1] + 4.0 * fm + fv[1:])
+    raise ValueError(f"unknown scheme {scheme!r}; pick from {SCHEMES}")
+
+
+def integral_cost(
+    ell: Callable,    # ell(x, u, t, data) -> scalar integrand
+    X: jnp.ndarray,
+    U: jnp.ndarray,
+    dt,
+    data,
+    scheme: str = "trapezoidal",
+) -> jnp.ndarray:
+    """Integrated running cost matching the transcription order.
+
+    ``euler`` uses the right-Riemann sum (the MILP examples' plain sum over
+    steps, etol_glpk_example1.cpp:105-111 — each node weighted dt... the
+    reference's MILP objective is an unweighted sum; use weights=1 there via
+    ``sum_cost``). Trapezoid for the NLP parity (Lagrange term,
+    ePSOPT.cpp:186-216).
+    """
+    K = X.shape[0]
+    ts = node_times(K - 1, dt, X.dtype)
+    lv = jax.vmap(lambda x, u, t: ell(x, u, t, data))(X, U, ts)  # [K]
+    if scheme == "euler":
+        return dt * jnp.sum(lv[1:])
+    w = jnp.ones((K,), X.dtype).at[0].set(0.5).at[-1].set(0.5)
+    return dt * jnp.sum(w * lv)
+
+
+def sum_cost(ell, X, U, dt, data) -> jnp.ndarray:
+    """Plain unweighted per-node sum — the MILP objective form
+    (eGurobi.cpp:370-386 sums the user objective over nodes)."""
+    K = X.shape[0]
+    ts = node_times(K - 1, dt, X.dtype)
+    lv = jax.vmap(lambda x, u, t: ell(x, u, t, data))(X, U, ts)
+    return jnp.sum(lv)

@@ -1,0 +1,226 @@
+"""VGP -> NLP assembly.
+
+This is the TPU rebirth of the reference's callback ABI (``f_t`` over
+``std::any``, ETOL_Types.hpp:111-117): a user problem is a set of plain JAX
+functions with signature ``f(x, u, t, data)`` (arrays in, arrays out) — one
+definition serves values, gradients (``jax.grad``), Jacobians and batching,
+where the reference needed six backend-specific expression dialects
+(SURVEY.md §1).
+
+``NLP`` assembles, for static :class:`~etol_tpu.core.types.Dims`:
+
+* ``objective(z, data)``      scalar cost (sign-corrected for maximize)
+* ``eq_residuals(z, data)``   collocation defects (+ user equalities) == 0
+* ``ineq_residuals(z, data)`` obstacle + user path constraints        <= 0
+* ``bounds(data)``            per-entry box on the flat decision vector,
+  encoding variable bounds, the initial-state clamp (addX0 parity,
+  eGurobi.cpp:278-303) and the terminal tolerance band (addXf parity,
+  eGurobi.cpp:305-336).
+
+Decision vector layout is node-major: ``z.reshape(K, nx+nu)`` with states
+first — the block structure a banded/block-tridiagonal KKT solver needs.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.problem import VGPData
+from ..core.types import Dims
+from . import collocation, obstacles
+
+
+@dataclasses.dataclass(frozen=True)
+class NLP:
+    """Static description of a transcribed VGP family.
+
+    Hashable (function identity), so it can be closed over / passed as a
+    static argument to ``jax.jit``.
+    """
+
+    dims: Dims
+    dynamics: Callable                    # f(x, u, t, data) -> xdot [nx]
+    running_cost: Callable                # ell(x, u, t, data) -> scalar
+    terminal_cost: Optional[Callable] = None   # phi(xN, data) -> scalar
+    path_ineq: Tuple[Callable, ...] = ()  # g(x, u, t, data) -> [*] <= 0
+    path_eq: Tuple[Callable, ...] = ()    # h(x, u, t, data) -> [*] == 0
+    scheme: str = "trapezoidal"
+    cost_form: str = "integral"           # "integral" | "sum"
+    use_obstacles: bool = True
+    obstacle_margin: float = 0.0          # inflate: require g <= -margin
+    maximize: bool = False
+    guess: Optional[Callable] = None      # guess(data) -> z (model-aware)
+
+    # ---- layout -------------------------------------------------------
+    @property
+    def nz(self) -> int:
+        return self.dims.nz
+
+    def unpack(self, z: jnp.ndarray):
+        d = self.dims
+        ZU = z.reshape(d.nodes, d.nx + d.nu)
+        return ZU[:, : d.nx], ZU[:, d.nx :]
+
+    def pack(self, X: jnp.ndarray, U: jnp.ndarray) -> jnp.ndarray:
+        return jnp.concatenate([X, U], axis=-1).reshape(-1)
+
+    # ---- node-separable pieces (the structured-solver interface) ------
+    #
+    # The solver exploits the horizon structure: the cost and every
+    # inequality are node-local, the defects couple adjacent nodes only,
+    # so the Gauss-Newton Hessian is block tridiagonal with node width
+    # nx+nu (cf. the per-step transcription loops of the reference MILP
+    # backends, eGLPK.cpp:279). ``z_node = [x_k, u_k]``.
+
+    def node_cost(self, z_node, k, data: VGPData) -> jnp.ndarray:
+        """Cost contribution of node k; sums to :meth:`objective`."""
+        d = self.dims
+        x, u = z_node[: d.nx], z_node[d.nx :]
+        t = k.astype(z_node.dtype) * data.dt
+        lv = self.running_cost(x, u, t, data)
+        if self.cost_form == "sum":
+            J = lv
+        else:  # trapezoid weights on the node grid
+            half = jnp.logical_or(k == 0, k == d.nsteps)
+            w = jnp.where(half, 0.5, 1.0).astype(z_node.dtype)
+            J = data.dt * w * lv
+        if self.terminal_cost is not None:
+            J = J + jnp.where(
+                k == d.nsteps, self.terminal_cost(x, data), 0.0
+            )
+        return -J if self.maximize else J
+
+    def step_defect(self, z_k, z_k1, k, data: VGPData) -> jnp.ndarray:
+        """Collocation defect of step k (nodes k -> k+1), shape [nx]."""
+        d = self.dims
+        x0, u0 = z_k[: d.nx], z_k[d.nx :]
+        x1, u1 = z_k1[: d.nx], z_k1[d.nx :]
+        dt = data.dt
+        t0 = k.astype(z_k.dtype) * dt
+        t1 = t0 + dt
+        f = self.dynamics
+        if self.scheme == "euler":
+            return x1 - x0 - dt * f(x1, u1, t1, data)
+        f0 = f(x0, u0, t0, data)
+        f1 = f(x1, u1, t1, data)
+        if self.scheme == "trapezoidal":
+            return x1 - x0 - (dt / 2.0) * (f0 + f1)
+        if self.scheme == "hermite_simpson":
+            xm = 0.5 * (x0 + x1) + (dt / 8.0) * (f0 - f1)
+            um = 0.5 * (u0 + u1)
+            fm = f(xm, um, 0.5 * (t0 + t1), data)
+            return x1 - x0 - (dt / 6.0) * (f0 + 4.0 * fm + f1)
+        raise ValueError(f"unknown scheme {self.scheme!r}")
+
+    def node_eq(self, z_node, k, data: VGPData) -> jnp.ndarray:
+        """User path equalities at node k, stacked flat (possibly 0-size)."""
+        d = self.dims
+        x, u = z_node[: d.nx], z_node[d.nx :]
+        t = k.astype(z_node.dtype) * data.dt
+        parts = [
+            jnp.atleast_1d(h(x, u, t, data)).reshape(-1)
+            for h in self.path_eq
+        ]
+        if not parts:
+            return jnp.zeros((0,), z_node.dtype)
+        return jnp.concatenate(parts)
+
+    def node_ineq(self, z_node, k, data: VGPData) -> jnp.ndarray:
+        """All inequality values at node k (obstacles + user), <= 0
+        feasible, stacked flat (possibly 0-size)."""
+        d = self.dims
+        x, u = z_node[: d.nx], z_node[d.nx :]
+        t = k.astype(z_node.dtype) * data.dt
+        parts = []
+        if self.use_obstacles:
+            gv = obstacles.collision_values(
+                x[:2], t, data.obstacles, data.tracks
+            )
+            parts.append(gv + self.obstacle_margin)
+        for g in self.path_ineq:
+            parts.append(jnp.atleast_1d(g(x, u, t, data)).reshape(-1))
+        if not parts:
+            return jnp.zeros((0,), z_node.dtype)
+        return jnp.concatenate(parts)
+
+    # ---- aggregate views ----------------------------------------------
+    def objective(self, z: jnp.ndarray, data: VGPData) -> jnp.ndarray:
+        Z = z.reshape(self.dims.nodes, -1)
+        ks = jnp.arange(self.dims.nodes)
+        return jnp.sum(
+            jax.vmap(lambda zn, k: self.node_cost(zn, k, data))(Z, ks)
+        )
+
+    def step_defects(self, z: jnp.ndarray, data: VGPData) -> jnp.ndarray:
+        """All collocation defects, [nsteps, nx]."""
+        Z = z.reshape(self.dims.nodes, -1)
+        ks = jnp.arange(self.dims.nsteps)
+        return jax.vmap(
+            lambda zk, zk1, k: self.step_defect(zk, zk1, k, data)
+        )(Z[:-1], Z[1:], ks)
+
+    def node_eqs(self, z: jnp.ndarray, data: VGPData) -> jnp.ndarray:
+        """User path equalities at all nodes, [K, m_eq_node]."""
+        Z = z.reshape(self.dims.nodes, -1)
+        ks = jnp.arange(self.dims.nodes)
+        return jax.vmap(lambda zn, k: self.node_eq(zn, k, data))(Z, ks)
+
+    def node_ineqs(self, z: jnp.ndarray, data: VGPData) -> jnp.ndarray:
+        """All inequality values at all nodes, [K, m_in_node]."""
+        Z = z.reshape(self.dims.nodes, -1)
+        ks = jnp.arange(self.dims.nodes)
+        return jax.vmap(lambda zn, k: self.node_ineq(zn, k, data))(Z, ks)
+
+    def eq_residuals(self, z: jnp.ndarray, data: VGPData) -> jnp.ndarray:
+        parts = [self.step_defects(z, data).reshape(-1)]
+        if self.path_eq:
+            parts.append(self.node_eqs(z, data).reshape(-1))
+        return jnp.concatenate(parts)
+
+    def ineq_residuals(self, z: jnp.ndarray, data: VGPData) -> jnp.ndarray:
+        return self.node_ineqs(z, data).reshape(-1)
+
+    def bounds(self, data: VGPData):
+        """Box bounds on z: variable bounds everywhere; nodes k < rhorizon
+        pinned to x0; terminal node confined to the goal tolerance band
+        intersected with the variable bounds."""
+        d = self.dims
+        K = d.nodes
+        x_lb = jnp.broadcast_to(data.x_lb, (K, d.nx))
+        x_ub = jnp.broadcast_to(data.x_ub, (K, d.nx))
+        r = max(d.rhorizon, 1)
+        x_lb = x_lb.at[:r].set(data.x0)
+        x_ub = x_ub.at[:r].set(data.x0)
+        x_lb = x_lb.at[-1].set(
+            jnp.maximum(data.xf - data.xtol, data.x_lb)
+        )
+        x_ub = x_ub.at[-1].set(
+            jnp.minimum(data.xf + data.xtol, data.x_ub)
+        )
+        u_lb = jnp.broadcast_to(data.u_lb, (K, d.nu))
+        u_ub = jnp.broadcast_to(data.u_ub, (K, d.nu))
+        lb = jnp.concatenate([x_lb, u_lb], axis=-1).reshape(-1)
+        ub = jnp.concatenate([x_ub, u_ub], axis=-1).reshape(-1)
+        return lb, ub
+
+    # ---- initial guess ------------------------------------------------
+    def initial_guess(self, data: VGPData) -> jnp.ndarray:
+        """Model-aware guess when the NLP carries one, else straight-line
+        state interpolation x0 -> xf with zero controls — the reference's
+        default guess (eDymos ``setGuess``, eDymos.cpp:537-565)."""
+        if self.guess is not None:
+            return self.guess(data)
+        d = self.dims
+        K = d.nodes
+        w = jnp.linspace(0.0, 1.0, K, dtype=data.x0.dtype)[:, None]
+        X = (1.0 - w) * data.x0 + w * data.xf
+        U = jnp.zeros((K, d.nu), data.x0.dtype)
+        return self.pack(X, U)
+
+    def score(self, z: jnp.ndarray, data: VGPData) -> jnp.ndarray:
+        """User-facing objective value (undo the maximize sign flip)."""
+        J = self.objective(z, data)
+        return -J if self.maximize else J

@@ -1,0 +1,94 @@
+"""Device-side obstacle constraint evaluation.
+
+All functions are JAX-traceable, shape-static, and mask-aware; they evaluate
+per *node* and are ``vmap``-ed over the horizon (and again over the problem
+batch) by the transcription layer — the reference's per-node callback loops
+(e.g. eDymos.cpp:74-177) collapsed into one fused array program.
+
+Sign convention follows the reference's NLP examples: a constraint value
+``g`` is **feasible when g <= 0** (etol_psopt_example1.cpp:181, :246).
+Masked-out (padding) entries always report feasible.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.problem import ObstacleData, TrackData
+from ..core.trajectory import linear_interpolation
+
+
+def ellipse_values(p: jnp.ndarray, obs: ObstacleData) -> jnp.ndarray:
+    """Per-edge-ellipse exclusion values at a 2D point ``p``.
+
+    g_e = asq*bsq - (bsq*dx'^2 + asq*dy'^2), the rotated-ellipse penalty of
+    the reference NLP obstacle callback (etol_psopt_example1.cpp:159-187);
+    g_e > 0 means the point is inside edge-ellipse e. Returns [E].
+    """
+    e = obs.ellipses
+    dx = p[0] - e[:, 0]
+    dy = p[1] - e[:, 1]
+    c, s = e[:, 2], e[:, 3]
+    delx = c * dx - s * dy
+    dely = s * dx + c * dy
+    asq, bsq = e[:, 4], e[:, 5]
+    g = asq * bsq - (bsq * delx**2 + asq * dely**2)
+    # normalise so the constraint scale is O(1) regardless of edge length
+    g = g / jnp.maximum(asq * bsq, 1e-12)
+    return jnp.where(obs.ellipse_mask > 0, g, -1.0)
+
+
+def track_values(
+    p: jnp.ndarray, t: jnp.ndarray, tracks: TrackData
+) -> jnp.ndarray:
+    """Moving-obstacle circle values at point ``p``, time ``t``.
+
+    Center linearly interpolated along the track's waypoint schedule, then
+    g = r^2 - |p - c(t)|^2  (etol_psopt_example1.cpp:226-247); g > 0 means
+    inside the protected circle. Returns [T]. Normalised by r^2.
+    """
+    T = tracks.times.shape[0]
+
+    def one(times, xy, r):
+        c = linear_interpolation(t, times, xy)
+        d2 = (p[0] - c[0]) ** 2 + (p[1] - c[1]) ** 2
+        rsq = r * r
+        return (rsq - d2) / jnp.maximum(rsq, 1e-12)
+
+    g = jnp.stack(
+        [
+            one(tracks.times[i], tracks.xy[i], tracks.radius[i])
+            for i in range(T)
+        ]
+    ) if T > 0 else jnp.zeros((0,))
+    return jnp.where(tracks.mask > 0, g, -1.0)
+
+
+def halfspace_margins(p: jnp.ndarray, obs: ObstacleData) -> jnp.ndarray:
+    """Signed containment margin per convex piece.
+
+    For piece j with outward halfspaces n.x <= b, returns
+    m_j = min over real rows of (b - n.p): m_j > 0 iff p is strictly inside
+    piece j. This is the normal-form analog of the per-side big-M rows
+    (eGLPK.cpp:190-246). Returns [P]; masked pieces report -inf-ish outside.
+    """
+    hs = obs.halfspaces  # [P, H, 3]
+    margin = hs[..., 2] - (
+        hs[..., 0] * p[0] + hs[..., 1] * p[1]
+    )  # [P, H]
+    big = jnp.asarray(1e6, dtype=margin.dtype)
+    margin = jnp.where(obs.hs_mask > 0, margin, big)
+    m = jnp.min(margin, axis=-1)
+    return jnp.where(obs.piece_mask > 0, m, -big)
+
+
+def inside_any_piece(p: jnp.ndarray, obs: ObstacleData) -> jnp.ndarray:
+    """Boolean: is ``p`` inside any convex obstacle piece? (ValidityChecker
+    analog, eOMPL.cpp:95-111, but over the convex partition.)"""
+    return jnp.any(halfspace_margins(p, obs) > 0)
+
+
+def collision_values(p, t, obs: ObstacleData, tracks: TrackData):
+    """All obstacle constraint values stacked: [E + T], feasible <= 0."""
+    return jnp.concatenate(
+        [ellipse_values(p, obs), track_values(p, t, tracks)]
+    )

@@ -1,0 +1,69 @@
+"""Facade tests: the TrajectoryOptimizer lifecycle (setup/solve/debug/
+close parity, TrajectoryOptimizer.hpp:39-54) and the MPC fast path."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from etol_tpu import TrajectoryOptimizer
+from etol_tpu.core.types import Status
+from etol_tpu.models import dynamics
+
+
+@pytest.fixture(scope="module")
+def solved_opt(ocp_xml):
+    topt = TrajectoryOptimizer()
+    topt.load_configs(ocp_xml)
+    topt.set_dynamics(dynamics.single_integrator)
+    topt.set_objective(lambda x, u, t, d: u[0] ** 2 + u[1] ** 2)
+    topt.setup()
+    topt.solve()
+    return topt
+
+
+def test_lifecycle(solved_opt):
+    topt = solved_opt
+    assert topt.get_status() == Status.SOLVED
+    assert 1.2 < topt.get_score() < 1.8
+    times, X = topt.get_xtraj()
+    _, U = topt.get_utraj()
+    assert X.shape == (33, 2) and U.shape == (33, 2)
+    assert float(times[-1]) == pytest.approx(16.0)
+    np.testing.assert_allclose(np.asarray(X[-1]), [5.0, 4.0], atol=0.011)
+    out = topt.debug()
+    assert "status=SOLVED" in out
+    assert "nodes=33" in out
+
+
+def test_save_csv(solved_opt, tmp_path):
+    p = solved_opt.save(solved_opt.get_xtraj(), str(tmp_path / "x.csv"))
+    rows = open(p).read().strip().splitlines()
+    assert rows[0].startswith("time,")
+    assert len(rows) == 34
+
+
+def test_mpc_step(solved_opt):
+    topt = solved_opt
+    # advance along the solved trajectory: warm re-solve must stay solved
+    _, X = topt.get_xtraj()
+    res = topt.mpc_step(np.asarray(X[1]))
+    assert int(res.status) == int(Status.SOLVED)
+    # re-solve must be warm: far fewer inner iterations than a cold solve
+    assert int(res.inner_iters) <= 20
+    assert topt.last_solve_seconds < 5.0  # jit cache hit, no retrace
+
+
+def test_setup_requires_callbacks(ocp_xml):
+    topt = TrajectoryOptimizer()
+    topt.load_configs(ocp_xml)
+    with pytest.raises(ValueError):
+        topt.setup()
+
+
+def test_close(solved_opt):
+    # close() drops results but the optimizer can be reused after solve()
+    solved = solved_opt
+    solved.close()
+    assert solved.result is None
+    solved.set_x0([1.0, 2.0])  # restore the canonical start (mpc moved it)
+    solved.solve()
+    assert solved.get_status() == Status.SOLVED

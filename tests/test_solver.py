@@ -1,0 +1,171 @@
+"""Solver tests: canonical-problem golden checks, feasibility, batching,
+warm starts (SURVEY.md §4's "do better, deliberately" strategy: the
+reference has no tests; cross-backend score/trajectory comparison on the
+canonical XMLs was its only oracle)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from etol_tpu import batch_tile
+from etol_tpu.core import geometry
+from etol_tpu.core.types import Status
+from etol_tpu.models import (
+    canonical_mip_2d,
+    canonical_ocp_2d,
+    double_integrator_2d,
+)
+from etol_tpu.solve import SolverConfig, solve, solve_batched
+
+CFG = SolverConfig()
+
+
+def _no_node_inside_obstacles(vgp, X):
+    bad = []
+    for k, p in enumerate(np.asarray(X)):
+        for poly in vgp.obstacles:
+            # strict interior violation, small tolerance for the smooth
+            # ellipse reformulation's boundary
+            c = np.mean(poly, axis=0)
+            shrunk = c + (poly - c) * 0.95
+            if geometry.point_in_polygon(p[:2], shrunk):
+                bad.append((k, p[:2]))
+    return bad
+
+
+@pytest.fixture(scope="module")
+def ocp_solution():
+    vgp, nlp = canonical_ocp_2d()
+    data, dims = vgp.to_device()
+    res = solve(nlp, CFG, data)
+    return vgp, nlp, data, res
+
+
+def test_ocp_converges(ocp_solution):
+    vgp, nlp, data, res = ocp_solution
+    assert int(res.status) == int(Status.SOLVED)
+    assert float(res.viol_eq) < 1e-4
+    assert float(res.viol_in) < 1e-4
+
+
+def test_ocp_reaches_goal(ocp_solution):
+    vgp, nlp, data, res = ocp_solution
+    X, U = nlp.unpack(res.z)
+    np.testing.assert_allclose(np.asarray(X[0]), [1.0, 2.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(X[-1]), [5.0, 4.0], atol=0.011)
+    # controls within bounds
+    assert float(jnp.max(jnp.abs(U))) <= 0.5 + 1e-5
+
+
+def test_ocp_avoids_obstacles(ocp_solution):
+    vgp, nlp, data, res = ocp_solution
+    X, _ = nlp.unpack(res.z)
+    assert _no_node_inside_obstacles(vgp, X) == []
+
+
+def test_ocp_score_sane(ocp_solution):
+    # straight-line lower bound: min integral |u|^2 with x' = u over 16 s
+    # from (1,2) to (5,4) is (4^2+2^2)/16 = 1.25; obstacle detour adds a
+    # little. Reference-style optima land ~1.3-1.6.
+    *_, res = ocp_solution
+    assert 1.25 - 1e-3 <= float(res.obj) <= 1.8
+
+
+def test_ocp_scipy_polish(ocp_solution):
+    """Local-optimality oracle: SLSQP started at our solution must not
+    find a meaningfully better feasible point of the same NLP."""
+    from scipy.optimize import minimize
+
+    vgp, nlp, data, res = ocp_solution
+    lb, ub = nlp.bounds(data)
+    z0 = np.asarray(res.z, dtype=np.float64)
+
+    obj = jax.jit(nlp.objective)
+    gobj = jax.jit(jax.grad(nlp.objective))
+    ceq = jax.jit(nlp.eq_residuals)
+    jeq = jax.jit(jax.jacfwd(nlp.eq_residuals))
+    cin = jax.jit(nlp.ineq_residuals)
+    jin = jax.jit(jax.jacfwd(nlp.ineq_residuals))
+    f32 = lambda z: jnp.asarray(z, jnp.float32)
+
+    out = minimize(
+        lambda z: float(obj(f32(z), data)),
+        z0,
+        jac=lambda z: np.asarray(gobj(f32(z), data), np.float64),
+        constraints=[
+            {
+                "type": "eq",
+                "fun": lambda z: np.asarray(ceq(f32(z), data), np.float64),
+                "jac": lambda z: np.asarray(jeq(f32(z), data), np.float64),
+            },
+            {
+                "type": "ineq",
+                # scipy wants g >= 0; ours is g <= 0
+                "fun": lambda z: -np.asarray(cin(f32(z), data), np.float64),
+                "jac": lambda z: -np.asarray(jin(f32(z), data), np.float64),
+            },
+        ],
+        bounds=list(
+            zip(np.asarray(lb, np.float64), np.asarray(ub, np.float64))
+        ),
+        method="SLSQP",
+        options={"maxiter": 200, "ftol": 1e-10},
+    )
+    # SLSQP may polish within f32 noise but not beat us meaningfully
+    assert out.fun >= float(res.obj) - 5e-3
+
+
+def test_mip_problem():
+    vgp, nlp = canonical_mip_2d()
+    data, dims = vgp.to_device()
+    res = solve(nlp, CFG, data)
+    assert int(res.status) == int(Status.SOLVED)
+    X, U = nlp.unpack(res.z)
+    np.testing.assert_allclose(np.asarray(X[-1]), [5.0, 4.0], atol=0.011)
+    assert _no_node_inside_obstacles(vgp, X) == []
+    # L1 optimum: total |u0| = 4/0.5 = 8 (x slack is zero), |u1| >= 4;
+    # MILP optimum is 12; smooth ellipse inflation may cost a bit more
+    assert 11.9 <= float(res.obj) <= 14.0
+
+
+def test_double_integrator():
+    vgp, nlp = double_integrator_2d()
+    data, dims = vgp.to_device()
+    res = solve(nlp, CFG, data)
+    assert int(res.status) == int(Status.SOLVED)
+    X, _ = nlp.unpack(res.z)
+    np.testing.assert_allclose(
+        np.asarray(X[-1, :2]), [5.0, 4.0], atol=0.06
+    )
+    assert _no_node_inside_obstacles(vgp, X) == []
+
+
+def test_batched_solve_varied_x0():
+    vgp, nlp = canonical_ocp_2d()
+    data, dims = vgp.to_device()
+    B = 8
+    bdata = batch_tile(data, B)
+    # vary the start point per lane, moving *away* from the t=0 moving
+    # obstacle at (1.51, 2) r=0.5 (x0=(1,2) is only 0.01 outside it)
+    x0s = jnp.asarray(
+        [[1.0 - 0.04 * i, 2.0 + 0.05 * i] for i in range(B)], jnp.float32
+    )
+    import dataclasses
+
+    bdata = dataclasses.replace(bdata, x0=x0s)
+    res = solve_batched(nlp, CFG, bdata)
+    assert res.z.shape == (B, nlp.nz)
+    assert np.all(np.asarray(res.status) == int(Status.SOLVED))
+    objs = np.asarray(res.obj)
+    assert np.all(np.isfinite(objs))
+    # different starts -> different scores
+    assert np.std(objs) > 1e-5
+
+
+def test_warm_start_is_cheaper(ocp_solution):
+    vgp, nlp, data, res = ocp_solution
+    lam = (res.lam_def, res.lam_eq, res.mu)
+    res2 = solve(nlp, CFG, data, res.z, lam)
+    assert int(res2.status) == int(Status.SOLVED)
+    assert int(res2.inner_iters) <= max(2 * int(res2.outer_iters), 6)
+    assert float(res2.obj) == pytest.approx(float(res.obj), abs=5e-3)

@@ -1,0 +1,79 @@
+"""XML config round-trip tests (loadConfigs/saveConfigs parity,
+TrajectoryOptimizer.cpp:787-1635; the round-trip itself is what
+etol_gurobi_example3.cpp:33-47 exercises)."""
+import numpy as np
+import pytest
+
+from etol_tpu import VGP, load_configs, save_configs
+from etol_tpu.core.types import VarType
+
+
+def test_load_mip(mip_xml):
+    v = load_configs(mip_xml)
+    assert v.nsteps == 16
+    assert v.dt == pytest.approx(0.5)
+    assert v.nx == 2 and v.nu == 4
+    assert v.x_rhorizon == 1
+    assert v.x0 == [1.0, 2.0]
+    assert v.xf == [5.0, 4.0]
+    assert v.xtol == [0.01, 0.01]
+    assert v.xlower == [0.0, 0.0] and v.xupper == [7.0, 7.0]
+    assert v.ulower == [-0.5] * 4 and v.uupper == [0.5] * 4
+    assert all(t is VarType.CONTINUOUS for t in v.xvartype + v.uvartype)
+    assert len(v.obstacles) == 2
+    assert len(v.obstacles[0]) == 5 and len(v.obstacles[1]) == 4
+    assert len(v.tracks) == 2
+    assert v.tracks[0].radius == pytest.approx(0.5)
+    assert v.tracks[0].times == [0.0, 32.0]
+    assert v.tracks[0].points[0] == [2.0, 2.0]
+
+
+def test_load_ocp(ocp_xml):
+    v = load_configs(ocp_xml)
+    assert v.nsteps == 32 and v.nu == 2
+    assert v.tracks[0].points[0] == [1.51, 2.0]
+
+
+def test_roundtrip(mip_xml, tmp_path):
+    v = load_configs(mip_xml)
+    out = tmp_path / "rt.xml"
+    save_configs(v, str(out))
+    v2 = load_configs(str(out))
+    assert v2.nsteps == v.nsteps
+    assert v2.dt == pytest.approx(v.dt)
+    assert v2.x0 == v.x0 and v2.xf == v.xf
+    assert v2.xlower == v.xlower and v2.uupper == v.uupper
+    for a, b in zip(v.obstacles, v2.obstacles):
+        np.testing.assert_allclose(a, b, atol=1e-9)
+    for a, b in zip(v.tracks, v2.tracks):
+        assert a.radius == pytest.approx(b.radius)
+        assert a.times == b.times
+        assert a.points == b.points
+
+
+def test_example3_shift_roundtrip(mip_xml, tmp_path):
+    """etol_gurobi_example3 parity: load, shift x0/xf by +10, save, reload."""
+    v = load_configs(mip_xml)
+    v.x0 = [a + 10.0 for a in v.x0]
+    v.xf = [a + 10.0 for a in v.xf]
+    out = tmp_path / "shifted.xml"
+    save_configs(v, str(out))
+    v2 = load_configs(str(out))
+    assert v2.x0 == [11.0, 12.0]
+    assert v2.xf == [15.0, 14.0]
+
+
+def test_to_device_shapes(mip_xml):
+    v = load_configs(mip_xml)
+    data, dims = v.to_device()
+    assert dims.nx == 2 and dims.nu == 4 and dims.nsteps == 16
+    assert data.x0.shape == (2,)
+    assert data.obstacles.ellipses.shape[0] == 9  # 5 + 4 edges
+    assert int(data.obstacles.ellipse_mask.sum()) == 9
+    assert data.tracks.times.shape == (2, 2)
+    # padding: request larger shapes and confirm masks
+    dims_p = v.dims(pad_ellipses=16, pad_tracks=4)
+    data_p, _ = v.to_device(dims_p)
+    assert data_p.obstacles.ellipses.shape[0] == 16
+    assert int(data_p.obstacles.ellipse_mask.sum()) == 9
+    assert int(data_p.tracks.mask.sum()) == 2
