@@ -14,6 +14,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import jax as _jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # TPU-image sitecustomize may override jax_platforms via config;
+    # re-assert the env var's choice before backends initialize
+    _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -61,53 +69,72 @@ def main():
 
     vgp, nlp = uas_2d(nsteps=nsteps)
     data, dims = vgp.to_device()
-    cfg = SolverConfig(max_outer=8, max_inner=20)
+    cfg = SolverConfig(max_outer=16, max_inner=30)
     bdata = make_batch(nlp, data, B, jax.random.PRNGKey(0))
 
     def run(d):
         res = al_sqp.solve_batched.__wrapped__(nlp, cfg, d, None, None)
-        return res.z, res.obj, res.status, res.viol_eq, res.viol_in
+        # fold to scalars on-device so the sync below transfers O(1)
+        # bytes; pulling a scalar to host is the only reliable
+        # completion barrier on tunneled backends
+        return (
+            jnp.sum(res.z),
+            jnp.mean((res.status == 1).astype(jnp.float32)),
+            jnp.max(res.viol_eq),
+            jnp.max(res.viol_in),
+        )
 
     runj = jax.jit(run)
 
     t0 = time.time()
     out = runj(bdata)
-    jax.block_until_ready(out)
+    solved = float(out[1])  # host pull = completion barrier
     log(f"compile+first run: {time.time()-t0:.1f}s")
-    status = np.asarray(out[2])
-    solved = float((status == 1).mean())
     log(f"solved fraction: {solved:.3f}  max viol: "
-        f"{float(np.max(np.asarray(out[3]))):.2e}/"
-        f"{float(np.max(np.asarray(out[4]))):.2e}")
+        f"{float(out[2]):.2e}/{float(out[3]):.2e}")
 
-    times = []
-    for i in range(iters):
-        d = make_batch(nlp, data, B, jax.random.PRNGKey(i + 1))
-        jax.block_until_ready(d)
-        t0 = time.time()
-        out = runj(d)
-        jax.block_until_ready(out)
-        times.append(time.time() - t0)
-    t_med = float(np.median(times))
+    # throughput: pre-stage all batches on device, dispatch back-to-back,
+    # sync once at the end (steady-state pipeline; amortizes tunnel RTT)
+    batches = [
+        make_batch(nlp, data, B, jax.random.PRNGKey(i + 1))
+        for i in range(iters)
+    ]
+    float(jnp.sum(batches[-1].x0))  # stage-in barrier
+    t0 = time.time()
+    acc = jnp.float32(0.0)
+    for d in batches:
+        acc = acc + runj(d)[0]
+    float(acc)  # completion barrier
+    t_all = time.time() - t0
+    t_med = t_all / iters
     solves_per_s = B / t_med
-    log(f"batch={B} N={nsteps} median batch time {t_med*1e3:.1f}ms "
+    log(f"batch={B} N={nsteps} mean batch time {t_med*1e3:.1f}ms "
         f"-> {solves_per_s:.0f} solves/s/chip")
 
-    # p50 receding-horizon latency: warm-started single-problem re-solve
+    # p50 receding-horizon latency: warm-started single-problem re-solve,
+    # measured per call including the host sync (that IS the MPC loop)
     res = al_sqp.solve(nlp, cfg, data)
-    jax.block_until_ready(res.z)
-    lat = []
+    float(jnp.sum(res.z))
     lam = (res.lam_def, res.lam_eq, res.mu)
+
+    def mpc(d2):
+        r = al_sqp.solve.__wrapped__(nlp, cfg, d2, res.z, lam, res.rho)
+        return jnp.sum(r.z), r.status
+    mpcj = jax.jit(mpc)
+    d2 = dataclasses.replace(data, x0=data.x0 + jnp.float32(0.01))
+    float(mpcj(d2)[0])  # compile
+    lat = []
     for i in range(20):
         d2 = dataclasses.replace(
             data, x0=data.x0 + jnp.float32(0.01 * (i + 1))
         )
         t0 = time.time()
-        r = al_sqp.solve(nlp, cfg, d2, res.z, lam)
-        jax.block_until_ready(r.z)
+        s, _ = mpcj(d2)
+        float(s)
         lat.append(time.time() - t0)
     p50 = float(np.median(lat)) * 1e3
-    log(f"p50 warm MPC re-solve latency: {p50:.2f}ms")
+    log(f"p50 warm MPC re-solve latency: {p50:.2f}ms "
+        f"(incl. host sync round-trip)")
 
     print(
         json.dumps(

@@ -140,16 +140,19 @@ class TrajectoryOptimizer:
         solution and multipliers (MPC re-solve, §3.1 of SURVEY.md)."""
         if self.nlp is None:
             raise ValueError("setup() must run before solve()")
-        z0 = lam0 = None
+        z0 = lam0 = rho0 = None
         if warm and self._warm is not None:
-            z0, lam0 = self._warm
+            z0, lam0, rho0 = self._warm
         t0 = time.time()
-        self.result = _solve(self.nlp, self.config, self.data, z0, lam0)
+        self.result = _solve(
+            self.nlp, self.config, self.data, z0, lam0, rho0
+        )
         jax.block_until_ready(self.result.z)
         self._solve_time = time.time() - t0
         self._warm = (
             self.result.z,
             (self.result.lam_def, self.result.lam_eq, self.result.mu),
+            self.result.rho,
         )
         return self.result
 
@@ -256,13 +259,15 @@ class TrajectoryOptimizer:
         )
         t0 = time.time()
         self.result = _solve(
-            self.nlp, self.config, self.data, Zs.reshape(-1), lam
+            self.nlp, self.config, self.data, Zs.reshape(-1), lam,
+            self.result.rho,
         )
         jax.block_until_ready(self.result.z)
         self._solve_time = time.time() - t0
         self._warm = (
             self.result.z,
             (self.result.lam_def, self.result.lam_eq, self.result.mu),
+            self.result.rho,
         )
         return self.result
 

@@ -9,7 +9,21 @@ Everything is fixed-shape and `lax.while_loop`-driven, so the whole solve
 jits once and `vmap`s over problem batches.
 """
 
-from .al_sqp import SolverConfig, SolveResult, solve, solve_batched
-from . import btridiag
+from .al_sqp import (
+    SolverConfig,
+    SolveResult,
+    solve,
+    solve_batched,
+    solve_multistart,
+)
+from . import al_sqp, btridiag
 
-__all__ = ["SolverConfig", "SolveResult", "solve", "solve_batched", "btridiag"]
+__all__ = [
+    "SolverConfig",
+    "SolveResult",
+    "solve",
+    "solve_batched",
+    "solve_multistart",
+    "al_sqp",
+    "btridiag",
+]

@@ -55,13 +55,26 @@ class SolverConfig:
     max_inner: int = 50
     tol_stat: float = 5e-4      # projected-gradient inf-norm (f32 floor;
                                 # objective changes < 1e-5 below this)
-    tol_cons: float = 1e-5      # constraint violation inf-norm
+    stat_eps: float = 3e-6      # rho-scaled stationarity floor: the AL
+                                # gradient carries rho * (f32 residual
+                                # noise), so pgn can never beat ~3e-6*rho
+    tol_cons: float = 1e-4      # constraint violation inf-norm (the
+                                # parity target is 1e-3 state error)
     rho0: float = 10.0          # initial AL penalty
     rho_growth: float = 5.0
-    rho_max: float = 1e7
+    rho_max: float = 1e5        # f32: factorizations degrade beyond this
     viol_decrease: float = 0.5  # required viol reduction else rho grows
-    reg: float = 1e-6           # Levenberg diagonal regularization
-    ls_backtracks: int = 16
+    reg: float = 1e-6           # base diagonal regularization
+    hessian: str = "gn"         # constraint curvature: "gn" (Gauss-
+                                # Newton only — best on the canonical
+                                # set: exact terms make blocks
+                                # indefinite and steer into worse local
+                                # minima), "defect" (dynamics curvature
+                                # only), "full"
+    lm0: float = 1e-3           # initial Levenberg damping (relative)
+    lm_min: float = 1e-6
+    lm_max: float = 30.0        # damping beyond this = at the f32 floor
+    ls_backtracks: int = 24
     ls_c1: float = 1e-4
     inner_tol0: float = 1e-2    # LANCELOT-style: inner tol tightens with rho
 
@@ -100,48 +113,86 @@ def _result_sizes(nlp: NLP, data: VGPData):
 # ---------------------------------------------------------------------------
 
 
-def _solve_single(nlp: NLP, cfg: SolverConfig, data: VGPData, z0, lam0):
-    d = nlp.dims
-    K, w = d.nodes, d.nx + d.nu
-    dtype = data.x0.dtype
-    lam_def0, lam_eq0, mu0 = lam0
+class _ALFuncs:
+    """The solver's building blocks for one (nlp, cfg, data) triple —
+    factored out so the debug harness (tools/debug_solver.py) can drive
+    single Newton steps eagerly with full visibility."""
 
-    lb, ub = nlp.bounds(data)
-    lb = lb.reshape(K, w)
-    ub = ub.reshape(K, w)
-    Z0 = jnp.clip(z0.reshape(K, w), lb, ub)
-    ks_step = jnp.arange(d.nsteps)
-    ks_node = jnp.arange(K)
-    pinned = (ub - lb) <= 1e-12
+    def __init__(self, nlp: NLP, cfg: SolverConfig, data: VGPData):
+        self.nlp, self.cfg, self.data = nlp, cfg, data
+        d = nlp.dims
+        self.K, self.w = d.nodes, d.nx + d.nu
+        self.dtype = data.x0.dtype
+        lb, ub = nlp.bounds(data)
+        self.lb = lb.reshape(self.K, self.w)
+        self.ub = ub.reshape(self.K, self.w)
+        self.ks_step = jnp.arange(d.nsteps)
+        self.ks_node = jnp.arange(self.K)
+        self.pinned = (self.ub - self.lb) <= 1e-12
+        # per-VARIABLE scale from the declared bounds (badly scaled
+        # problems — fixed-wing positions ~1e3 vs angles ~1 — need the
+        # Newton system, damping and stationarity test in scaled
+        # coordinates). Deliberately not the per-node boxes: x0 pinning
+        # and the terminal tolerance band would shrink those nodes'
+        # scales to ~xtol and make the damped system stiff there.
+        def var_scale(lo, hi):
+            half = 0.5 * (hi - lo)
+            ok = jnp.isfinite(half) & (half > 1e-9)
+            return jnp.where(ok, jnp.clip(half, 1e-2, 1e4), 1.0)
 
-    def residuals(Z):
+        s_node = jnp.concatenate(
+            [var_scale(data.x_lb, data.x_ub),
+             var_scale(data.u_lb, data.u_ub)]
+        )
+        self.scale = jnp.broadcast_to(s_node, (self.K, self.w))
+        # defect scaling: a defect row lives in state units, so its f32
+        # noise floor is eps * |state|; dividing by max(1, state scale)
+        # makes tol_cons a relative tolerance on large-range problems
+        self.cscale = jnp.maximum(var_scale(data.x_lb, data.x_ub), 1.0)
+        self.al_grad = jax.grad(self.al_value)
+
+    def residuals(self, Z):
+        nlp, data = self.nlp, self.data
         c_def = jax.vmap(
             lambda a, b, k: nlp.step_defect(a, b, k, data)
-        )(Z[:-1], Z[1:], ks_step)
-        c_eq = jax.vmap(lambda zn, k: nlp.node_eq(zn, k, data))(Z, ks_node)
-        g = jax.vmap(lambda zn, k: nlp.node_ineq(zn, k, data))(Z, ks_node)
+        )(Z[:-1], Z[1:], self.ks_step) / self.cscale
+        c_eq = jax.vmap(lambda zn, k: nlp.node_eq(zn, k, data))(
+            Z, self.ks_node
+        )
+        g = jax.vmap(lambda zn, k: nlp.node_ineq(zn, k, data))(
+            Z, self.ks_node
+        )
         return c_def, c_eq, g
 
-    def cost(Z):
+    def cost(self, Z):
+        nlp, data = self.nlp, self.data
         return jnp.sum(
-            jax.vmap(lambda zn, k: nlp.node_cost(zn, k, data))(Z, ks_node)
+            jax.vmap(lambda zn, k: nlp.node_cost(zn, k, data))(
+                Z, self.ks_node
+            )
         )
 
-    def al_value(Z, lam_def, lam_eq, mu, rho):
-        c_def, c_eq, g = residuals(Z)
-        J = cost(Z)
+    def al_value(self, Z, lam_def, lam_eq, mu, rho):
+        c_def, c_eq, g = self.residuals(Z)
+        J = self.cost(Z)
         J = J + jnp.sum(lam_def * c_def) + 0.5 * rho * jnp.sum(c_def**2)
         J = J + jnp.sum(lam_eq * c_eq) + 0.5 * rho * jnp.sum(c_eq**2)
         s = jnp.maximum(0.0, mu + rho * g)
         J = J + (0.5 / rho) * jnp.sum(s * s - mu * mu)
         return J
 
-    al_grad = jax.grad(al_value)
+    def gn_blocks(self, Z, lam_def, lam_eq, mu, rho, free, lm):
+        """AL Hessian blocks: Gauss-Newton + (optionally) the exact
+        constraint-curvature terms Σ s·∇²g, Σ (λ+ρc)·∇²c — without them
+        the inner Newton is only linearly convergent on curved
+        constraints (the ellipse obstacles are concave, so pure GN
+        systematically overshoots). ``lm`` is adaptive Levenberg damping
+        that restores positive definiteness when the exact terms make a
+        block indefinite (detected downstream as a NaN factor)."""
+        nlp, data, cfg = self.nlp, self.data, self.cfg
+        w, dtype = self.w, self.dtype
 
-    # ---- Gauss-Newton block Hessian of the AL -------------------------
-    def gn_blocks(Z, mu, rho, free):
-        # node-local curvature: cost Hessian + rho * (Ge^T Ge + Gi^T W Gi)
-        def node_blocks(zn, k, mu_k):
+        def node_blocks(zn, k, mu_k, lam_eq_k):
             Hl = jax.hessian(lambda v: nlp.node_cost(v, k, data))(zn)
             De = jnp.zeros((w, w), dtype)
             Ge = jax.jacfwd(lambda v: nlp.node_eq(v, k, data))(zn)
@@ -152,98 +203,220 @@ def _solve_single(nlp: NLP, cfg: SolverConfig, data: VGPData, z0, lam0):
                 g_k = nlp.node_ineq(zn, k, data)
                 act = (mu_k + rho * g_k > 0).astype(dtype)
                 De = De + (Gi * act[:, None]).T @ Gi
-            return Hl + rho * De
+            H = Hl + rho * De
+            if cfg.hessian == "full":
+                if Gi.shape[0]:
+                    s = jax.lax.stop_gradient(
+                        jnp.maximum(0.0, mu_k + rho * nlp.node_ineq(
+                            zn, k, data))
+                    )
+                    H = H + jax.hessian(
+                        lambda v: jnp.sum(s * nlp.node_ineq(v, k, data))
+                    )(zn)
+                if Ge.shape[0]:
+                    se = jax.lax.stop_gradient(
+                        lam_eq_k + rho * nlp.node_eq(zn, k, data)
+                    )
+                    H = H + jax.hessian(
+                        lambda v: jnp.sum(se * nlp.node_eq(v, k, data))
+                    )(zn)
+            return H
 
-        D = jax.vmap(node_blocks)(Z, ks_node, mu)
+        D = jax.vmap(node_blocks)(Z, self.ks_node, mu, lam_eq)
 
         # step coupling: defect Jacobians A_k = dc/dz_k, B_k = dc/dz_{k+1}
         def step_jacs(a, b, k):
-            A = jax.jacfwd(lambda v: nlp.step_defect(v, b, k, data))(a)
-            B = jax.jacfwd(lambda v: nlp.step_defect(a, v, k, data))(b)
+            cs = self.cscale[:, None]
+            A = jax.jacfwd(lambda v: nlp.step_defect(v, b, k, data))(a) / cs
+            B = jax.jacfwd(lambda v: nlp.step_defect(a, v, k, data))(b) / cs
             return A, B
 
-        A, B = jax.vmap(step_jacs)(Z[:-1], Z[1:], ks_step)
+        A, B = jax.vmap(step_jacs)(Z[:-1], Z[1:], self.ks_step)
         D = D.at[:-1].add(rho * jnp.einsum("kij,kil->kjl", A, A))
         D = D.at[1:].add(rho * jnp.einsum("kij,kil->kjl", B, B))
         O = rho * jnp.einsum("kij,kil->kjl", A, B)
+
+        if cfg.hessian in ("defect", "full"):
+            # exact defect curvature: hessian over the node pair of
+            # (λ+ρc)·c, split into its four w×w quadrants
+            def pair_curv(a, b, k, lam_k):
+                cs = self.cscale
+                sdef = jax.lax.stop_gradient(
+                    lam_k + rho * nlp.step_defect(a, b, k, data) / cs
+                )
+                zpair = jnp.concatenate([a, b])
+                Hp = jax.hessian(
+                    lambda v: jnp.sum(
+                        sdef * nlp.step_defect(v[:w], v[w:], k, data) / cs
+                    )
+                )(zpair)
+                return Hp[:w, :w], Hp[w:, w:], Hp[:w, w:]
+
+            Haa, Hbb, Hab = jax.vmap(pair_curv)(
+                Z[:-1], Z[1:], self.ks_step, lam_def
+            )
+            D = D.at[:-1].add(Haa)
+            D = D.at[1:].add(Hbb)
+            O = O + Hab
+
+        # scale to relative-variable coordinates: H~ = S H S. Damping and
+        # the factorization then see O(1) numbers regardless of raw
+        # variable ranges (fixed-wing positions vs angles)
+        s = self.scale
+        D = D * (s[:, :, None] * s[:, None, :])
+        O = O * (s[:-1][:, :, None] * s[1:][:, None, :])
 
         # active-set masking: fixed rows/cols become identity
         m = free.astype(dtype)
         D = D * (m[:, :, None] * m[:, None, :])
         D = D + jnp.eye(w, dtype=dtype) * (1.0 - m)[:, None, :]
         O = O * (m[:-1][:, :, None] * m[1:][:, None, :])
-        # Levenberg regularization keeps the factor SPD in f32
-        D = D + (cfg.reg * (1.0 + rho)) * jnp.eye(w, dtype=dtype)
+        # damping keeps the factor SPD (f32) and globalizes Newton
+        D = D + ((cfg.reg + lm) * (1.0 + rho)) * jnp.eye(w, dtype=dtype)
         return D, O
 
-    def proj_grad_norm(Z, grad):
-        pg = Z - jnp.clip(Z - grad, lb, ub)
+    def proj_grad_norm(self, Z, grad):
+        """Scaled projected-gradient inf-norm: improvement available per
+        relative (fraction-of-range) move, capped by the boxes."""
+        s = self.scale
+        pg = (Z - jnp.clip(Z - s * grad, self.lb, self.ub)) / s
         return jnp.max(jnp.abs(pg))
 
+    def newton_step(self, Z, lam_def, lam_eq, mu, rho, lm=None):
+        """One damped projected-Newton iteration; returns
+        (Znew, lm_next, diagnostics)."""
+        cfg = self.cfg
+        lb, ub = self.lb, self.ub
+        if lm is None:
+            lm = jnp.asarray(cfg.lm0, self.dtype)
+        grad = self.al_grad(Z, lam_def, lam_eq, mu, rho)
+        at_lb = Z <= lb + 1e-9
+        at_ub = Z >= ub - 1e-9
+        free = ~(
+            self.pinned | (at_lb & (grad > 0.0)) | (at_ub & (grad < 0.0))
+        )
+        D, O = self.gn_blocks(Z, lam_def, lam_eq, mu, rho, free, lm)
+        # the blocks are in scaled coordinates (H~ = S H S): solve
+        # H~ p~ = -S g, then p = S p~
+        s = self.scale
+        rhs = jnp.where(free, -(s * grad), 0.0)
+        L_diag, L_sub = btridiag.factor(D, O)
+        pt = btridiag.solve_factored(L_diag, L_sub, rhs)
+        # one step of iterative refinement rescues f32 accuracy when
+        # rho makes the system ill-conditioned
+        resid = rhs - btridiag.matvec(D, O, pt)
+        pt = pt + btridiag.solve_factored(L_diag, L_sub, resid)
+        p = jnp.where(free, s * pt, 0.0)
+        # fall back to a damped scaled-gradient step if the factor
+        # failed (indefinite block -> NaN) or the direction is uphill
+        bad = ~jnp.all(jnp.isfinite(p)) | (jnp.sum(p * grad) >= 0.0)
+        p = jnp.where(bad, s * rhs / ((1.0 + rho) * (1.0 + lm)), p)
+
+        # projected backtracking Armijo line search
+        val0 = self.al_value(Z, lam_def, lam_eq, mu, rho)
+
+        def ls_body(ls_state):
+            j, _, _, _ = ls_state
+            alpha = 0.5**j
+            Znew = jnp.clip(Z + alpha * p, lb, ub)
+            val = self.al_value(Znew, lam_def, lam_eq, mu, rho)
+            dec = jnp.sum(grad * (Znew - Z))
+            ok = val <= val0 + cfg.ls_c1 * dec
+            ok = ok & jnp.isfinite(val) & (dec < 0.0)
+            return j + 1.0, ok, Znew, val
+
+        def ls_cond(ls_state):
+            j, ok, _, _ = ls_state
+            return (~ok) & (j < cfg.ls_backtracks)
+
+        nsteps_ls, ls_ok, Zc, val_new = jax.lax.while_loop(
+            ls_cond,
+            ls_body,
+            (jnp.asarray(0.0, self.dtype), jnp.asarray(False), Z, val0),
+        )
+        Znew = jnp.where(ls_ok, Zc, Z)
+        # Levenberg adaptation: full steps -> trust the model more;
+        # backtracked or failed steps -> damp harder
+        lm_next = jnp.where(
+            ~ls_ok | bad,
+            jnp.minimum(lm * 10.0, cfg.lm_max),
+            jnp.where(
+                nsteps_ls <= 1.0,
+                jnp.maximum(lm * 0.33, cfg.lm_min),
+                jnp.where(nsteps_ls > 3.0, lm * 3.0, lm),
+            ),
+        )
+        diag = dict(
+            grad=grad, free=free, p=p, bad=bad, ls_ok=ls_ok,
+            ls_steps=nsteps_ls, val0=val0, val_new=val_new, lm=lm,
+        )
+        return Znew, lm_next, diag
+
+
+def _solve_single(
+    nlp: NLP, cfg: SolverConfig, data: VGPData, z0, lam0, rho_init=None
+):
+    d = nlp.dims
+    dtype = data.x0.dtype
+    lam_def0, lam_eq0, mu0 = lam0
+
+    F = _ALFuncs(nlp, cfg, data)
+    lb, ub = F.lb, F.ub
+    Z0 = jnp.clip(z0.reshape(F.K, F.w), lb, ub)
+    residuals = F.residuals
+    al_value = F.al_value
+    al_grad = F.al_grad
+    proj_grad_norm = F.proj_grad_norm
+
     # ---- inner projected-Newton loop ----------------------------------
-    def inner_solve(Z, lam_def, lam_eq, mu, rho, tol_inner):
+    def inner_solve(Z, lam_def, lam_eq, mu, rho, tol_inner, lm):
         def body(state):
-            Z, it, _ = state
-            grad = al_grad(Z, lam_def, lam_eq, mu, rho)
-            at_lb = Z <= lb + 1e-9
-            at_ub = Z >= ub - 1e-9
-            free = ~(
-                pinned
-                | (at_lb & (grad > 0.0))
-                | (at_ub & (grad < 0.0))
+            Z, it, _, _, lm, noprog = state
+            Znew, lm_next, diag = F.newton_step(
+                Z, lam_def, lam_eq, mu, rho, lm
             )
-            D, O = gn_blocks(Z, mu, rho, free)
-            rhs = jnp.where(free, -grad, 0.0)
-            p = btridiag.solve(D, O, rhs)
-            # fall back to (projected) steepest descent if the factor
-            # failed (NaNs) or the direction is not descent
-            bad = ~jnp.all(jnp.isfinite(p)) | (jnp.sum(p * grad) >= 0.0)
-            p = jnp.where(bad, rhs, p)
-
-            # projected backtracking Armijo line search
-            val0 = al_value(Z, lam_def, lam_eq, mu, rho)
-
-            def ls_body(ls_state):
-                j, _, _, _ = ls_state
-                alpha = 0.5**j
-                Znew = jnp.clip(Z + alpha * p, lb, ub)
-                val = al_value(Znew, lam_def, lam_eq, mu, rho)
-                dec = jnp.sum(grad * (Znew - Z))
-                ok = val <= val0 + cfg.ls_c1 * dec
-                ok = ok & jnp.isfinite(val) & (dec < 0.0)
-                return j + 1.0, ok, Znew, val
-
-            def ls_cond(ls_state):
-                j, ok, _, _ = ls_state
-                return (~ok) & (j < cfg.ls_backtracks)
-
-            _, ls_ok, Zc, _ = jax.lax.while_loop(
-                ls_cond,
-                ls_body,
-                (jnp.asarray(0.0, dtype), jnp.asarray(False), Z, val0),
-            )
-            Znew = jnp.where(ls_ok, Zc, Z)
             pgn = proj_grad_norm(
                 Znew, al_grad(Znew, lam_def, lam_eq, mu, rho)
             )
-            done = (pgn <= tol_inner) | (~ls_ok)
-            return Znew, it + 1, done
+            # progress tracking: two consecutive iterations that cannot
+            # improve the AL beyond f32 resolution = this subproblem is
+            # at its numerical floor; burning the rest of the budget
+            # only wastes time (and flakes the convergence flag)
+            improved = (diag["val0"] - diag["val_new"]) > 1e-7 * (
+                1.0 + jnp.abs(diag["val0"])
+            )
+            noprog = jnp.where(improved, 0, noprog + 1)
+            stalled = noprog >= 2
+            done = (pgn <= tol_inner) | stalled
+            return Znew, it + 1, done, stalled, lm_next, noprog
 
         def cond(state):
-            _, it, done = state
+            _, it, done, _, _, _ = state
             return (~done) & (it < cfg.max_inner)
 
-        Z, it, _ = jax.lax.while_loop(
-            cond, body, (Z, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        Z, it, _, stalled, lm, _ = jax.lax.while_loop(
+            cond,
+            body,
+            (
+                Z,
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(False),
+                jnp.asarray(False),
+                lm,
+                jnp.asarray(0, jnp.int32),
+            ),
         )
-        return Z, it
+        return Z, it, lm, stalled
 
     # ---- outer AL loop ------------------------------------------------
     def outer_body(state):
-        (Z, lam_def, lam_eq, mu, rho, omega, viol_prev, o_it, i_tot,
+        (Z, lam_def, lam_eq, mu, rho, omega, lm, viol_prev, o_it, i_tot,
          _, _) = state
-        tol_inner = jnp.maximum(cfg.tol_stat, omega)
-        Z, it = inner_solve(Z, lam_def, lam_eq, mu, rho, tol_inner)
+        stat_floor = jnp.maximum(cfg.tol_stat, cfg.stat_eps * rho)
+        tol_inner = jnp.maximum(stat_floor, omega)
+        Z, it, lm, stalled = inner_solve(
+            Z, lam_def, lam_eq, mu, rho, tol_inner, lm
+        )
         c_def, c_eq, g = residuals(Z)
         viol = jnp.maximum(
             jnp.max(jnp.abs(c_def), initial=0.0),
@@ -254,7 +427,12 @@ def _solve_single(nlp: NLP, cfg: SolverConfig, data: VGPData, z0, lam0):
         # Lagrangian gradient up to O(rho*viol), so small viol + inner
         # stationarity ⇒ KKT point
         pgn = proj_grad_norm(Z, al_grad(Z, lam_def, lam_eq, mu, rho))
-        done = (viol <= cfg.tol_cons) & (pgn <= cfg.tol_stat)
+        # KKT, up to the f32 floor: feasible + inner-stationary. An inner
+        # loop that stalled at its numerical floor counts as stationary
+        # provided pgn is within a sanity factor of the rho-scaled floor.
+        done = (viol <= cfg.tol_cons) & (
+            (pgn <= stat_floor) | (stalled & (pgn <= 100.0 * stat_floor))
+        )
         # first-order multiplier update
         lam_def = lam_def + rho * c_def
         lam_eq = lam_eq + rho * c_eq
@@ -276,8 +454,11 @@ def _solve_single(nlp: NLP, cfg: SolverConfig, data: VGPData, z0, lam0):
                 omega * 0.2, cfg.tol_stat
             )
         )
+        # relax the damping a little at each new outer problem so a
+        # high-lm episode doesn't slow later (easier) subproblems
+        lm = jnp.maximum(lm * 0.1, cfg.lm0)
         return (
-            Z, lam_def, lam_eq, mu, rho, omega, viol, o_it + 1,
+            Z, lam_def, lam_eq, mu, rho, omega, lm, viol, o_it + 1,
             i_tot + it, done, pgn,
         )
 
@@ -285,7 +466,11 @@ def _solve_single(nlp: NLP, cfg: SolverConfig, data: VGPData, z0, lam0):
         *_, o_it, _, done, _pgn = state
         return (~done) & (o_it < cfg.max_outer)
 
-    rho0 = jnp.asarray(cfg.rho0, dtype)
+    rho0 = (
+        jnp.asarray(cfg.rho0, dtype)
+        if rho_init is None
+        else jnp.asarray(rho_init, dtype)
+    )
     init = (
         Z0,
         lam_def0,
@@ -293,15 +478,15 @@ def _solve_single(nlp: NLP, cfg: SolverConfig, data: VGPData, z0, lam0):
         mu0,
         rho0,
         jnp.asarray(cfg.inner_tol0, dtype),
+        jnp.asarray(cfg.lm0, dtype),
         jnp.asarray(jnp.inf, dtype),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
         jnp.asarray(jnp.inf, dtype),
     )
-    Z, lam_def, lam_eq, mu, rho, omega, viol, o_it, i_tot, done, pgn = (
-        jax.lax.while_loop(outer_cond, outer_body, init)
-    )
+    (Z, lam_def, lam_eq, mu, rho, omega, lm, viol, o_it, i_tot, done,
+     pgn) = jax.lax.while_loop(outer_cond, outer_body, init)
 
     c_def, c_eq, g = residuals(Z)
     viol_eq = jnp.maximum(
@@ -353,13 +538,68 @@ def solve(
     data: VGPData,
     z0: Optional[jax.Array] = None,
     lam0=None,
+    rho0: Optional[jax.Array] = None,
 ) -> SolveResult:
-    """Solve one VGP. ``z0``/``lam0`` warm-start (MPC fast path)."""
+    """Solve one VGP. ``z0``/``lam0``/``rho0`` warm-start (MPC fast
+    path: pass the previous result's z, multipliers and penalty so the
+    re-solve starts at the already-calibrated penalty level)."""
     if z0 is None:
         z0 = nlp.initial_guess(data)
     if lam0 is None:
         lam0 = init_multipliers(nlp, data)
-    return _solve_single(nlp, cfg, data, z0, lam0)
+    return _solve_single(nlp, cfg, data, z0, lam0, rho0)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3))
+def solve_multistart(
+    nlp: NLP,
+    cfg: SolverConfig,
+    data: VGPData,
+    n_starts: int = 8,
+    key: Optional[jax.Array] = None,
+    spread: float = 0.4,
+) -> SolveResult:
+    """Solve one VGP from ``n_starts`` perturbed initial guesses at once
+    and keep the best feasible result.
+
+    The batch axis is the global-search mechanism that replaces the MILP
+    backends' branch-and-bound (SURVEY.md §7 hard parts): nonconvex
+    obstacle fields have multiple basins (pass above vs. below), and a
+    straight-line guess can start in a blocked one. Guesses are the
+    nominal one plus smooth half-sine bumps on the interior states.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    d = nlp.dims
+    K, w = d.nodes, d.nx + d.nu
+    base = nlp.initial_guess(data).reshape(K, w)
+    lam0 = init_multipliers(nlp, data)
+
+    # smooth state-space bumps, zero at both ends (x0/xf respected)
+    window = jnp.sin(jnp.pi * jnp.arange(K) / (K - 1))[:, None]
+    deltas = jax.random.uniform(
+        key, (n_starts, d.nx), minval=-spread, maxval=spread
+    ) * (data.x_ub - data.x_lb)
+    deltas = deltas.at[0].set(0.0)  # start 0 = the nominal guess
+
+    def make_guess(delta):
+        X = base[:, : d.nx] + window * delta
+        return jnp.concatenate([X, base[:, d.nx :]], axis=-1).reshape(-1)
+
+    z0s = jax.vmap(make_guess)(deltas)
+    res = jax.vmap(
+        lambda z: _solve_single(nlp, cfg, data, z, lam0)
+    )(z0s)
+
+    feas = (res.viol_eq <= 10.0 * cfg.tol_cons) & (
+        res.viol_in <= 10.0 * cfg.tol_cons
+    )
+    sign = -1.0 if nlp.maximize else 1.0
+    score = jnp.where(
+        jnp.isfinite(res.obj), sign * res.obj, jnp.inf
+    ) + jnp.where(feas, 0.0, 1e9)
+    best = jnp.argmin(score)
+    return jax.tree.map(lambda a: a[best], res)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -369,11 +609,13 @@ def solve_batched(
     data: VGPData,
     z0: Optional[jax.Array] = None,
     lam0=None,
+    rho0: Optional[jax.Array] = None,
 ) -> SolveResult:
     """Solve a batch: every leaf of ``data`` has a leading batch axis.
 
     ``vmap`` over lanes — diverged lanes carry their own status instead of
-    poisoning the batch.
+    poisoning the batch. ``z0`` [B, nz], ``lam0`` (each leaf [B, ...])
+    and ``rho0`` [B] warm-start the whole fleet (MPC at scale).
     """
     if z0 is None:
         z0 = jax.vmap(nlp.initial_guess)(data)
@@ -385,6 +627,10 @@ def solve_batched(
         lam0 = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (B,) + a.shape), one
         )
+    if rho0 is None:
+        return jax.vmap(
+            lambda dat, z, l: _solve_single(nlp, cfg, dat, z, l)
+        )(data, z0, lam0)
     return jax.vmap(
-        lambda dat, z, l: _solve_single(nlp, cfg, dat, z, l)
-    )(data, z0, lam0)
+        lambda dat, z, l, r: _solve_single(nlp, cfg, dat, z, l, r)
+    )(data, z0, lam0, rho0)

@@ -50,6 +50,7 @@ class NLP:
     scheme: str = "trapezoidal"
     cost_form: str = "integral"           # "integral" | "sum"
     use_obstacles: bool = True
+    obstacle_form: str = "both"           # "ellipses" | "pieces" | "both"
     obstacle_margin: float = 0.0          # inflate: require g <= -margin
     maximize: bool = False
     guess: Optional[Callable] = None      # guess(data) -> z (model-aware)
@@ -137,7 +138,7 @@ class NLP:
         parts = []
         if self.use_obstacles:
             gv = obstacles.collision_values(
-                x[:2], t, data.obstacles, data.tracks
+                x[:2], t, data.obstacles, data.tracks, self.obstacle_form
             )
             parts.append(gv + self.obstacle_margin)
         for g in self.path_ineq:

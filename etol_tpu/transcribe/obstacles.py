@@ -11,6 +11,7 @@ Masked-out (padding) entries always report feasible.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.problem import ObstacleData, TrackData
@@ -87,8 +88,44 @@ def inside_any_piece(p: jnp.ndarray, obs: ObstacleData) -> jnp.ndarray:
     return jnp.any(halfspace_margins(p, obs) > 0)
 
 
-def collision_values(p, t, obs: ObstacleData, tracks: TrackData):
-    """All obstacle constraint values stacked: [E + T], feasible <= 0."""
-    return jnp.concatenate(
-        [ellipse_values(p, obs), track_values(p, t, tracks)]
-    )
+def piece_values(
+    p: jnp.ndarray, obs: ObstacleData, tau: float = 0.05
+) -> jnp.ndarray:
+    """Smooth conservative containment value per convex piece, [P].
+
+    The edge ellipses are thin bands around the boundary: a node can hop
+    *over* them into the polygon interior when steps are large. This
+    constraint covers the full interior: for piece j,
+    ``g_j = softmin_tau(margins) + tau*log(H)``, an overestimate of the
+    true min margin (min <= softmin + tau*log H), so ``g_j <= 0``
+    certifies the point is outside piece j; it inflates the piece by at
+    most ``tau*log H`` outside. Positive and growing toward the interior
+    -> the AL pushes interior nodes out.
+    """
+    hs = obs.halfspaces  # [P, H, 3]
+    H = hs.shape[1]
+    margin = hs[..., 2] - (hs[..., 0] * p[0] + hs[..., 1] * p[1])
+    big = jnp.asarray(1e3, margin.dtype)
+    margin = jnp.where(obs.hs_mask > 0, margin, big)
+    softmin = -tau * jax.nn.logsumexp(-margin / tau, axis=-1)
+    n_rows = jnp.maximum(jnp.sum(obs.hs_mask, axis=-1), 1.0)
+    g = softmin + tau * jnp.log(n_rows)
+    return jnp.where(obs.piece_mask > 0, g, -big)
+
+
+def collision_values(
+    p, t, obs: ObstacleData, tracks: TrackData, form: str = "both"
+):
+    """All obstacle constraint values stacked, feasible <= 0.
+
+    ``form``: "ellipses" (reference NLP parity, [E+T]), "pieces"
+    (interior-covering softmin containment, [P+T]), or "both"
+    ([E+P+T], the default — bands stop edge crossings, containment
+    stops interior hops)."""
+    parts = []
+    if form in ("ellipses", "both"):
+        parts.append(ellipse_values(p, obs))
+    if form in ("pieces", "both"):
+        parts.append(piece_values(p, obs))
+    parts.append(track_values(p, t, tracks))
+    return jnp.concatenate(parts)

@@ -10,6 +10,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax as _jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # TPU-image sitecustomize may override jax_platforms via config;
+    # re-assert the env var's choice before backends initialize
+    _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 import numpy as np
 
 from etol_tpu import TrajectoryOptimizer

@@ -1,35 +1,29 @@
 """Test configuration: force an 8-fake-device CPU platform.
 
-Multi-chip sharding (pjit/shard_map over a Mesh) is tested without TPU pods
-via XLA's host-platform device-count override — the standard JAX trick
-(SURVEY.md §4). Must run before jax is imported anywhere.
+Multi-chip sharding (pjit/shard_map over a Mesh) is tested without TPU
+pods via XLA's host-platform device-count override — the standard JAX
+trick (SURVEY.md §4).
+
+On TPU images a sitecustomize registers a remote-TPU backend at
+interpreter start and *overrides* ``jax_platforms`` via jax.config (env
+vars are not enough). Backends are not initialized yet when this conftest
+loads, so pointing the config back at CPU here wins — as long as no
+fixture touched jax.devices() earlier.
 """
 import os
-import sys
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# f64 available for oracle comparisons in tests
-os.environ.setdefault("JAX_ENABLE_X64", "0")
 
-if os.environ.get("JAX_PLATFORMS") != "cpu":
-    # On TPU images a sitecustomize may import-and-configure jax at
-    # interpreter start, before this conftest can set JAX_PLATFORMS —
-    # re-exec pytest with the env fixed so the whole process is CPU +
-    # 8 fake devices. Sentinel guards against an exec loop.
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    if os.environ.get("_ETPU_TEST_REEXEC") != "1":
-        os.environ["_ETPU_TEST_REEXEC"] = "1"
-        os.execvpe(
-            sys.executable,
-            [sys.executable, "-m", "pytest"] + sys.argv[1:],
-            os.environ,
-        )
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
+import sys
 
 import pytest
 

@@ -116,16 +116,22 @@ def test_ocp_scipy_polish(ocp_solution):
 
 
 def test_mip_problem():
+    from etol_tpu.solve import solve_multistart
+
     vgp, nlp = canonical_mip_2d()
     data, dims = vgp.to_device()
-    res = solve(nlp, CFG, data)
+    # the straight-line basin is blocked by the t=0 moving obstacle in
+    # the bottom corridor; multi-start (the batched replacement for the
+    # MILP's global branch-and-bound) finds the over-the-top route
+    res = solve_multistart(nlp, CFG, data, 8)
     assert int(res.status) == int(Status.SOLVED)
     X, U = nlp.unpack(res.z)
     np.testing.assert_allclose(np.asarray(X[-1]), [5.0, 4.0], atol=0.011)
     assert _no_node_inside_obstacles(vgp, X) == []
     # L1 optimum: total |u0| = 4/0.5 = 8 (x slack is zero), |u1| >= 4;
-    # MILP optimum is 12; smooth ellipse inflation may cost a bit more
-    assert 11.9 <= float(res.obj) <= 14.0
+    # MILP optimum is 12; the conservative ellipse inflation forces the
+    # longer top route (~14)
+    assert 11.9 <= float(res.obj) <= 14.5
 
 
 def test_double_integrator():
@@ -165,7 +171,7 @@ def test_batched_solve_varied_x0():
 def test_warm_start_is_cheaper(ocp_solution):
     vgp, nlp, data, res = ocp_solution
     lam = (res.lam_def, res.lam_eq, res.mu)
-    res2 = solve(nlp, CFG, data, res.z, lam)
+    res2 = solve(nlp, CFG, data, res.z, lam, res.rho)
     assert int(res2.status) == int(Status.SOLVED)
-    assert int(res2.inner_iters) <= max(2 * int(res2.outer_iters), 6)
+    assert int(res2.inner_iters) < int(res.inner_iters) // 2
     assert float(res2.obj) == pytest.approx(float(res.obj), abs=5e-3)

@@ -113,8 +113,10 @@ def test_nlp_shapes_and_bounds(ocp_xml):
     assert z.shape == (nlp.nz,)
     ceq = nlp.eq_residuals(z, data)
     assert ceq.shape == (v.nsteps * v.nx,)
+    # per node: 9 edge ellipses + 3 convex pieces (5-corner splits in 2,
+    # 4-corner is 1) + 2 tracks
     g = nlp.ineq_residuals(z, data)
-    assert g.shape == ((v.nsteps + 1) * (9 + 2),)
+    assert g.shape == ((v.nsteps + 1) * (9 + 3 + 2),)
     lb, ub = nlp.bounds(data)
     assert lb.shape == ub.shape == (nlp.nz,)
     assert bool(jnp.all(lb <= ub))
