@@ -77,6 +77,10 @@ class SolverConfig:
     ls_backtracks: int = 24
     ls_c1: float = 1e-4
     inner_tol0: float = 1e-2    # LANCELOT-style: inner tol tightens with rho
+    kkt_solver: str = "scan"    # "scan" (sequential block Cholesky) or
+                                # "cr" (cyclic reduction: log-depth
+                                # parallel levels; better TPU latency at
+                                # long horizons)
 
 
 @jax.tree_util.register_dataclass
@@ -300,12 +304,19 @@ class _ALFuncs:
         # H~ p~ = -S g, then p = S p~
         s = self.scale
         rhs = jnp.where(free, -(s * grad), 0.0)
-        L_diag, L_sub = btridiag.factor(D, O)
-        pt = btridiag.solve_factored(L_diag, L_sub, rhs)
-        # one step of iterative refinement rescues f32 accuracy when
-        # rho makes the system ill-conditioned
-        resid = rhs - btridiag.matvec(D, O, pt)
-        pt = pt + btridiag.solve_factored(L_diag, L_sub, resid)
+        if cfg.kkt_solver == "cr":
+            from ..ops import cyclic_reduction as _cr
+
+            pt = _cr.solve(D, O, rhs)
+            resid = rhs - btridiag.matvec(D, O, pt)
+            pt = pt + _cr.solve(D, O, resid)
+        else:
+            L_diag, L_sub = btridiag.factor(D, O)
+            pt = btridiag.solve_factored(L_diag, L_sub, rhs)
+            # one step of iterative refinement rescues f32 accuracy when
+            # rho makes the system ill-conditioned
+            resid = rhs - btridiag.matvec(D, O, pt)
+            pt = pt + btridiag.solve_factored(L_diag, L_sub, resid)
         p = jnp.where(free, s * pt, 0.0)
         # fall back to a damped scaled-gradient step if the factor
         # failed (indefinite block -> NaN) or the direction is uphill

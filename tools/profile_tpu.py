@@ -48,12 +48,23 @@ def timeit(fn, *args, n=20):
         ]
 
     variants = [perturb(i) for i in range(n)]
-    jax.block_until_ready(variants)
+    _sync(variants)
     t0 = time.time()
     for v in variants:
         out = fn(*v)
-    jax.block_until_ready(out)
+    _sync(out)  # scalar host pull: the only reliable barrier on axon
     return (time.time() - t0) / n
+
+
+def _sync(tree):
+    """Force completion: block_until_ready can return early on tunneled
+    backends; pulling a scalar to host cannot."""
+    leaves = [
+        x for x in jax.tree.leaves(tree)
+        if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jnp.floating)
+    ]
+    if leaves:
+        float(jnp.sum(leaves[-1]))
 
 
 def main():
