@@ -109,7 +109,37 @@ def main():
     t_med = t_all / iters
     solves_per_s = B / t_med
     log(f"batch={B} N={nsteps} mean batch time {t_med*1e3:.1f}ms "
-        f"-> {solves_per_s:.0f} solves/s/chip")
+        f"-> {solves_per_s:.0f} cold solves/s/chip")
+
+    # warm fleet-MPC throughput: re-solve the batch with perturbed x0,
+    # warm-started from the previous solution (steady-state fleet MPC —
+    # the production workload; eGurobi changeX0 fast path at scale)
+    def solve_full(d):
+        return al_sqp.solve_batched.__wrapped__(nlp, cfg, d, None, None)
+
+    res0 = jax.jit(solve_full)(bdata)
+    float(jnp.sum(res0.z))
+
+    def warm(d, z0, lam, rho):
+        r = al_sqp.solve_batched.__wrapped__(nlp, cfg, d, z0, lam, rho)
+        return jnp.sum(r.z), r.z, (r.lam_def, r.lam_eq, r.mu), r.rho
+
+    warmj = jax.jit(warm)
+    z0, lam, rho = res0.z, (res0.lam_def, res0.lam_eq, res0.mu), res0.rho
+    d = bdata
+    s, z0, lam, rho = warmj(d, z0, lam, rho)  # compile
+    float(s)
+    t0 = time.time()
+    for i in range(iters):
+        d = dataclasses.replace(
+            d, x0=d.x0 + jnp.float32(0.01)
+        )
+        s, z0, lam, rho = warmj(d, z0, lam, rho)
+    float(s)
+    t_warm = (time.time() - t0) / iters
+    warm_solves_per_s = B / t_warm
+    log(f"warm fleet-MPC: {t_warm*1e3:.1f}ms/batch "
+        f"-> {warm_solves_per_s:.0f} warm solves/s/chip")
 
     # p50 receding-horizon latency: warm-started single-problem re-solve,
     # measured per call including the host sync (that IS the MPC loop)
@@ -147,6 +177,9 @@ def main():
                     "batch": B,
                     "nsteps": nsteps,
                     "solved_fraction": solved,
+                    "warm_solves_per_s_per_chip": round(
+                        warm_solves_per_s, 2
+                    ),
                     "p50_mpc_latency_ms": round(p50, 3),
                 },
             }

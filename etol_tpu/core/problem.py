@@ -34,21 +34,31 @@ class TrackData:
     """Moving exclusion zones ("tracks", ETOL_Types.hpp:102-105) as padded
     arrays. ``times``/``xy`` hold per-track waypoint schedules; centers at
     query time are linearly interpolated exactly like the reference examples
-    (etol_psopt_example1.cpp:233-246)."""
+    (etol_psopt_example1.cpp:233-246).
 
-    times: jax.Array   # [T, W]
-    xy: jax.Array      # [T, W, 2]
-    radius: jax.Array  # [T]
-    mask: jax.Array    # [T] 1.0 where the track exists
+    Tracks are n-dimensional (the reference's waypoint datums are an
+    arbitrary-length list, vgp.rst): ``xy`` is [T, W, D] with D = the
+    problem's max datum count, and ``dim_mask`` zeroes padding dims so a
+    2-D track in a 3-D state space ignores altitude."""
+
+    times: jax.Array     # [T, W]
+    xy: jax.Array        # [T, W, D]
+    radius: jax.Array    # [T]
+    mask: jax.Array      # [T] 1.0 where the track exists
+    dim_mask: jax.Array  # [T, D] 1.0 for real dims of each track
 
     @staticmethod
-    def empty(max_tracks: int, max_waypoints: int, dtype=jnp.float32):
-        T, W = max(max_tracks, 1), max(max_waypoints, 2)
+    def empty(
+        max_tracks: int, max_waypoints: int, ndim: int = 2,
+        dtype=jnp.float32,
+    ):
+        T, W, D = max(max_tracks, 1), max(max_waypoints, 2), max(ndim, 2)
         return TrackData(
             times=jnp.zeros((T, W), dtype),
-            xy=jnp.zeros((T, W, 2), dtype),
+            xy=jnp.zeros((T, W, D), dtype),
             radius=jnp.zeros((T,), dtype),
             mask=jnp.zeros((T,), dtype),
+            dim_mask=jnp.zeros((T, D), dtype),
         )
 
 
@@ -308,10 +318,14 @@ class VGP:
                 piece_mask[k] = 1.0
                 k += 1
 
+        D = max(
+            [2] + [len(p) for trk in self.tracks for p in trk.points]
+        )
         tt = np.zeros((T, W))
-        txy = np.zeros((T, W, 2))
+        txy = np.zeros((T, W, D))
         tr = np.zeros((T,))
         tmask = np.zeros((T,))
+        tdim = np.zeros((T, D))
         for i, trk in enumerate(self.tracks):
             if i >= T:
                 raise ValueError("pad_tracks too small")
@@ -321,11 +335,13 @@ class VGP:
             tt[i, :w] = trk.times
             # pad by repeating the last waypoint so interpolation clamps
             tt[i, w:] = trk.times[-1]
-            pts = np.asarray(trk.points)[:, :2]
-            txy[i, :w] = pts
-            txy[i, w:] = pts[-1]
+            nd = min(len(trk.points[0]), D)
+            pts = np.asarray(trk.points)[:, :nd]
+            txy[i, :w, :nd] = pts
+            txy[i, w:, :nd] = pts[-1]
             tr[i] = trk.radius
             tmask[i] = 1.0
+            tdim[i, :nd] = 1.0
 
         f = lambda a: jnp.asarray(np.asarray(a), dtype=dtype)
         data = VGPData(
@@ -345,7 +361,8 @@ class VGP:
                 piece_mask=f(piece_mask),
             ),
             tracks=TrackData(
-                times=f(tt), xy=f(txy), radius=f(tr), mask=f(tmask)
+                times=f(tt), xy=f(txy), radius=f(tr), mask=f(tmask),
+                dim_mask=f(tdim),
             ),
         )
         return data, dims

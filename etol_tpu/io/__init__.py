@@ -8,5 +8,6 @@ resume exactly.
 """
 
 from .checkpoint import load_checkpoint, save_checkpoint
+from .lp_export import write_lp
 
-__all__ = ["save_checkpoint", "load_checkpoint"]
+__all__ = ["save_checkpoint", "load_checkpoint", "write_lp"]

@@ -178,15 +178,14 @@ def point_mass_3d(
     x0=(0.0, 0.0, 1.0),
     xf=(6.0, 5.0, 2.0),
     track_specs: Sequence = (
-        # (radius, times, xy-waypoints) — moving obstacles in the xy plane
-        (0.6, (0.0, 8.0), ((3.0, 2.0), (3.0, 4.0))),
-        (0.6, (0.0, 8.0), ((2.0, 4.0), (4.0, 2.0))),
+        # (radius, times, waypoints) — true 3-D moving spheres
+        (0.6, (0.0, 8.0), ((3.0, 2.0, 1.5), (3.0, 4.0, 1.5))),
+        (0.6, (0.0, 8.0), ((2.0, 4.0, 2.0), (4.0, 2.0, 1.0))),
     ),
 ):
-    """BASELINE config 3: 3D point mass with moving obstacles. Moving
-    circular zones act on the (x, y) projection, exactly like the
-    reference tracks (track_t stores 2D waypoints,
-    mip_2d_ex1.xml datums); altitude rides free."""
+    """BASELINE config 3: 3D point mass with moving spherical obstacles
+    (tracks are n-dimensional per the reference's datum lists,
+    vgp.rst; 3 datums per waypoint -> a moving ball in x, y, z)."""
     vgp = VGP(nsteps=nsteps, dt=dt)
     vgp.x0 = list(x0)
     vgp.xf = list(xf)

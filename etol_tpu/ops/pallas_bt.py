@@ -1,0 +1,228 @@
+"""Pallas TPU kernel: batched block-tridiagonal Cholesky solve.
+
+Layout rethink for the TPU memory model: the XLA path (`vmap` of
+solve/btridiag.py) carries each problem's tiny w x w matrices in the
+minor dims — batched small-matrix ops. This kernel instead puts the
+PROBLEM BATCH on the 128-lane axis and the (static, small) block
+structure in registers: every Cholesky/substitution scalar becomes a
+[128]-wide VPU op, the K-recurrence runs once per grid cell for 128
+problems, and all factor state stays in VMEM scratch (no HBM traffic
+between factor and substitution).
+
+Shapes (wrapper transposes): D [K, w*w, B], O [K-1, w*w, B],
+r [K, w, B] -> x [K, w, B], grid over B/BT lane tiles.
+
+VMEM budget per grid cell ~ (3*K*w^2 + 3*K*w) * BT * 4B; the wrapper
+falls back to the XLA scan path when that exceeds the cap or w > 8.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+_VMEM_CAP = 10 * 1024 * 1024  # bytes per grid cell
+
+
+def _bt_kernel(K: int, w: int):
+    w2 = w * w
+
+    def kernel(d_ref, o_ref, r_ref, x_ref, lfac_ref, lsub_ref, y_ref):
+        def chol_rows(slab):
+            # slab [w2, BT] rows = matrix entries (i*w+j); returns the
+            # lower factor rows, same layout
+            L = [[None] * w for _ in range(w)]
+            for i in range(w):
+                for j in range(i + 1):
+                    s = slab[i * w + j, :]
+                    for t in range(j):
+                        s = s - L[i][t] * L[j][t]
+                    if i == j:
+                        L[i][j] = jnp.sqrt(s)
+                    else:
+                        L[i][j] = s / L[j][j]
+            return L
+
+        def fwd_subst(L, b_rows):
+            # solve L y = b for w-vector rows [each [BT]]
+            y = [None] * w
+            for i in range(w):
+                s = b_rows[i]
+                for t in range(i):
+                    s = s - L[i][t] * y[t]
+                y[i] = s / L[i][i]
+            return y
+
+        def bwd_subst(L, b_rows):
+            x = [None] * w
+            for i in reversed(range(w)):
+                s = b_rows[i]
+                for t in range(i + 1, w):
+                    s = s - L[t][i] * x[t]
+                x[i] = s / L[i][i]
+            return x
+
+        def store_L(ref, k, L):
+            rows = []
+            for i in range(w):
+                for j in range(w):
+                    rows.append(
+                        L[i][j]
+                        if j <= i
+                        else jnp.zeros_like(L[0][0])
+                    )
+            ref[k] = jnp.stack(rows, axis=0)
+
+        def load_L(ref, k):
+            slab = ref[k]
+            return [
+                [slab[i * w + j, :] for j in range(w)] for i in range(w)
+            ]
+
+        # ---- factor + forward substitution in one sweep -------------
+        # S = D_0
+        def body_fwd(k, S):
+            L = chol_rows(S)
+            store_L(lfac_ref, k, L)
+
+            # y_k = L^{-1} (r_k - Lsub_{k-1} y_{k-1}) ; Lsub = W^T with
+            # W = L^{-1} O_k computed below, stored for later use
+            rk = [r_ref[k, i, :] for i in range(w)]
+
+            def rk_adj():
+                prev = [y_ref[k - 1, i, :] for i in range(w)]
+                ls = lsub_ref[k - 1]
+                out = []
+                for i in range(w):
+                    s = rk[i]
+                    for j in range(w):
+                        s = s - ls[i * w + j, :] * prev[j]
+                    out.append(s)
+                return out
+
+            rk2 = jax.lax.cond(
+                k > 0,
+                lambda: rk_adj(),
+                lambda: rk,
+            )
+            yk = fwd_subst(L, rk2)
+            y_ref[k] = jnp.stack(yk, axis=0)
+
+            # W = L^{-1} O_k (column-wise fwd subst), Lsub_k = W^T,
+            # S_next = D_{k+1} - W^T W
+            def next_S():
+                ok = o_ref[k]
+                Wcols = []
+                for c in range(w):
+                    col = [ok[i * w + c, :] for i in range(w)]
+                    Wcols.append(fwd_subst(L, col))  # W[:, c]
+                # store Lsub rows: Lsub[i][j] = W[j][i]
+                rows = []
+                for i in range(w):
+                    for j in range(w):
+                        rows.append(Wcols[i][j])
+                lsub_ref[k] = jnp.stack(rows, axis=0)
+                dn = d_ref[k + 1]
+                rows_s = []
+                for i in range(w):
+                    for j in range(w):
+                        s = dn[i * w + j, :]
+                        for t in range(w):
+                            s = s - Wcols[i][t] * Wcols[j][t]
+                        rows_s.append(s)
+                return jnp.stack(rows_s, axis=0)
+
+            S_next = jax.lax.cond(
+                k < K - 1,
+                next_S,
+                lambda: jnp.zeros_like(S),
+            )
+            return S_next
+
+        jax.lax.fori_loop(0, K, body_fwd, d_ref[0], unroll=False)
+
+        # ---- backward substitution ----------------------------------
+        def body_bwd(i, _):
+            k = K - 1 - i
+            L = load_L(lfac_ref, k)
+            yk = [y_ref[k, t, :] for t in range(w)]
+
+            def with_next():
+                nxt = [x_ref[k + 1, t, :] for t in range(w)]
+                ls = lsub_ref[k]
+                out = []
+                for t in range(w):
+                    s = yk[t]
+                    for j in range(w):
+                        # (Lsub_k)^T: entry [t][j] = Lsub[j][t]... here
+                        # x_k = L^{-T} (y_k - Lsub_k^T x_{k+1}) with
+                        # Lsub[i][j] = W[i][j] = (L^{-1}O)[j][i]; the
+                        # coupling in L^T x = y uses Lsub^T rows
+                        s = s - ls[j * w + t, :] * nxt[j]
+                    out.append(s)
+                return out
+
+            rhs = jax.lax.cond(k < K - 1, with_next, lambda: yk)
+            xk = bwd_subst(L, rhs)
+            x_ref[k] = jnp.stack(xk, axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, K, body_bwd, 0, unroll=False)
+
+    return kernel
+
+
+def _vmem_bytes(K, w, bt):
+    return (3 * K * w * w + 3 * K * w) * bt * 4
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def solve_lanes(D, O, r, interpret: bool = False):
+    """Batched solve, lane-major kernel. D [B, K, w, w], O [B, K-1, w, w],
+    r [B, K, w] -> x [B, K, w]. B must be a multiple of 128 (pad)."""
+    B, K, w, _ = D.shape
+    bt = LANES
+    assert B % bt == 0, f"batch {B} must be a multiple of {bt}"
+    Dt = D.reshape(B, K, w * w).transpose(1, 2, 0)      # [K, w2, B]
+    Zo = jnp.zeros((B, 1, w, w), D.dtype)
+    Opad = jnp.concatenate([O, Zo], axis=1)             # [B, K, w, w]
+    Ot = Opad.reshape(B, K, w * w).transpose(1, 2, 0)
+    rt = r.transpose(1, 2, 0)                           # [K, w, B]
+
+    grid = (B // bt,)
+    out = pl.pallas_call(
+        _bt_kernel(K, w),
+        out_shape=jax.ShapeDtypeStruct((K, w, B), D.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (K, w * w, bt), lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (K, w * w, bt), lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (K, w, bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (K, w, bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((K, w * w, bt), D.dtype),
+            pltpu.VMEM((K, w * w, bt), D.dtype),
+            pltpu.VMEM((K, w, bt), D.dtype),
+        ],
+        interpret=interpret,
+    )(Dt, Ot, rt)
+    return out.transpose(2, 0, 1)  # [B, K, w]
+
+
+def usable(K: int, w: int) -> bool:
+    return w <= 8 and _vmem_bytes(K, w, LANES) <= _VMEM_CAP

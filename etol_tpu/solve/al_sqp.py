@@ -405,7 +405,7 @@ def _solve_single(
             _, it, done, _, _, _ = state
             return (~done) & (it < cfg.max_inner)
 
-        Z, it, _, stalled, lm, _ = jax.lax.while_loop(
+        Z, it, conv, stalled, lm, _ = jax.lax.while_loop(
             cond,
             body,
             (
@@ -417,7 +417,9 @@ def _solve_single(
                 jnp.asarray(0, jnp.int32),
             ),
         )
-        return Z, it, lm, stalled
+        # conv: exited via the done test (stationary or stalled), not by
+        # exhausting the budget
+        return Z, it, lm, stalled, conv
 
     # ---- outer AL loop ------------------------------------------------
     def outer_body(state):
@@ -425,7 +427,7 @@ def _solve_single(
          _, _) = state
         stat_floor = jnp.maximum(cfg.tol_stat, cfg.stat_eps * rho)
         tol_inner = jnp.maximum(stat_floor, omega)
-        Z, it, lm, stalled = inner_solve(
+        Z, it, lm, stalled, conv = inner_solve(
             Z, lam_def, lam_eq, mu, rho, tol_inner, lm
         )
         c_def, c_eq, g = residuals(Z)
@@ -449,7 +451,12 @@ def _solve_single(
         lam_eq = lam_eq + rho * c_eq
         mu = jnp.maximum(0.0, mu + rho * g)
         # grow the penalty only while actually infeasible — growing it
-        # during the stationarity-polish phase explodes the AL gradient
+        # during the stationarity-polish phase explodes the AL gradient.
+        # NOTE on CPU test flakiness: AL from an infeasible guess on a
+        # nonconvex field is knife-edge basin-sensitive, and XLA-CPU
+        # reduction order varies with machine load, so single-start CPU
+        # runs of hard problems are not run-to-run reproducible — use
+        # solve_multistart (+ shooting seeds) for those.
         grow = (
             (viol > cfg.viol_decrease * viol_prev)
             & (viol > cfg.tol_cons)
@@ -461,9 +468,9 @@ def _solve_single(
         # LANCELOT omega-schedule: tighten the inner tolerance on good
         # progress, reset against the new penalty on bad progress
         omega = jnp.where(
-            grow, cfg.inner_tol0 / rho, jnp.maximum(
-                omega * 0.2, cfg.tol_stat
-            )
+            grow,
+            cfg.inner_tol0 / rho,
+            jnp.maximum(omega * 0.2, cfg.tol_stat),
         )
         # relax the damping a little at each new outer problem so a
         # high-lm episode doesn't slow later (easier) subproblems
@@ -561,7 +568,7 @@ def solve(
     return _solve_single(nlp, cfg, data, z0, lam0, rho0)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 3))
+@functools.partial(jax.jit, static_argnums=(0, 1, 3, 6))
 def solve_multistart(
     nlp: NLP,
     cfg: SolverConfig,
@@ -569,15 +576,20 @@ def solve_multistart(
     n_starts: int = 8,
     key: Optional[jax.Array] = None,
     spread: float = 0.4,
+    shooting_samples: int = 0,
 ) -> SolveResult:
-    """Solve one VGP from ``n_starts`` perturbed initial guesses at once
-    and keep the best feasible result.
+    """Solve one VGP from ``n_starts`` initial guesses at once and keep
+    the best feasible result.
 
     The batch axis is the global-search mechanism that replaces the MILP
     backends' branch-and-bound (SURVEY.md §7 hard parts): nonconvex
     obstacle fields have multiple basins (pass above vs. below), and a
-    straight-line guess can start in a blocked one. Guesses are the
-    nominal one plus smooth half-sine bumps on the interior states.
+    straight-line guess can start in a blocked one — AL from an
+    infeasible guess is knife-edge sensitive to which basin it drains
+    into. Guesses: the nominal one, smooth half-sine state bumps, and
+    (``shooting_samples > 0``) the best collision-free randomized
+    rollout (solve.shooting) — a dynamically consistent, obstacle-free
+    seed that stabilizes hard fields.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -598,6 +610,13 @@ def solve_multistart(
         return jnp.concatenate([X, base[:, d.nx :]], axis=-1).reshape(-1)
 
     z0s = jax.vmap(make_guess)(deltas)
+    if shooting_samples > 0:
+        from . import shooting as _shooting
+
+        z_shoot = _shooting.plan_guess(
+            nlp, data, n_samples=shooting_samples, key=key
+        )
+        z0s = z0s.at[1 % n_starts].set(z_shoot)
     res = jax.vmap(
         lambda z: _solve_single(nlp, cfg, data, z, lam0)
     )(z0s)

@@ -137,8 +137,10 @@ class NLP:
         t = k.astype(z_node.dtype) * data.dt
         parts = []
         if self.use_obstacles:
+            # full state: polygon zones use (x, y); tracks use as many
+            # dims as their waypoint datums carry (2-D circle or n-D ball)
             gv = obstacles.collision_values(
-                x[:2], t, data.obstacles, data.tracks, self.obstacle_form
+                x, t, data.obstacles, data.tracks, self.obstacle_form
             )
             parts.append(gv + self.obstacle_margin)
         for g in self.path_ineq:

@@ -41,23 +41,36 @@ def ellipse_values(p: jnp.ndarray, obs: ObstacleData) -> jnp.ndarray:
 def track_values(
     p: jnp.ndarray, t: jnp.ndarray, tracks: TrackData
 ) -> jnp.ndarray:
-    """Moving-obstacle circle values at point ``p``, time ``t``.
+    """Moving-obstacle ball values at point ``p``, time ``t``.
 
-    Center linearly interpolated along the track's waypoint schedule, then
-    g = r^2 - |p - c(t)|^2  (etol_psopt_example1.cpp:226-247); g > 0 means
-    inside the protected circle. Returns [T]. Normalised by r^2.
+    Center linearly interpolated along the track's waypoint schedule,
+    then g = r^2 - |p - c(t)|^2 over the track's real dimensions
+    (etol_psopt_example1.cpp:226-247; n-dimensional per vgp.rst —
+    ``dim_mask`` ignores padded dims, so a 2-D track in a 3-D state
+    space constrains only the ground projection). g > 0 means inside
+    the protected ball. Returns [T], normalised by r^2.
     """
-    T = tracks.times.shape[0]
+    T, _, D = tracks.xy.shape
+    pd = p[:D]
+    if pd.shape[0] < D:  # state has fewer dims than the track table
+        pd = jnp.concatenate(
+            [pd, jnp.zeros((D - pd.shape[0],), p.dtype)]
+        )
 
-    def one(times, xy, r):
+    def one(times, xy, r, dmask):
         c = linear_interpolation(t, times, xy)
-        d2 = (p[0] - c[0]) ** 2 + (p[1] - c[1]) ** 2
+        d2 = jnp.sum(dmask * (pd - c) ** 2)
         rsq = r * r
         return (rsq - d2) / jnp.maximum(rsq, 1e-12)
 
     g = jnp.stack(
         [
-            one(tracks.times[i], tracks.xy[i], tracks.radius[i])
+            one(
+                tracks.times[i],
+                tracks.xy[i],
+                tracks.radius[i],
+                tracks.dim_mask[i],
+            )
             for i in range(T)
         ]
     ) if T > 0 else jnp.zeros((0,))
