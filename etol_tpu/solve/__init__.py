@@ -16,7 +16,8 @@ from .al_sqp import (
     solve_batched,
     solve_multistart,
 )
-from . import al_sqp, btridiag
+from . import al_sqp, btridiag, shooting
+from .refine import solve_refined
 
 __all__ = [
     "SolverConfig",
@@ -24,6 +25,8 @@ __all__ = [
     "solve",
     "solve_batched",
     "solve_multistart",
+    "solve_refined",
     "al_sqp",
     "btridiag",
+    "shooting",
 ]
