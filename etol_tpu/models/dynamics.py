@@ -59,7 +59,10 @@ def fixed_wing_3dof(x, u, t, data):
     """Nonlinear 3-DOF fixed-wing point-mass (BASELINE.json config 4).
 
     States  x = [px, py, h, V, gamma, psi]  (position, altitude, airspeed,
-    flight-path angle, heading);
+    flight-path angle, heading) in KILOMETER units — km and km/s keep
+    every state O(1) so f32 collocation defects sit far above the
+    rounding floor (meter units put positions ~1e3 and the defect noise
+    eps*|x| ~ 1e-4 above any useful feasibility tolerance);
     controls u = [load_factor, bank, throttle].
 
         px'    = V cos(gamma) cos(psi)
@@ -69,12 +72,12 @@ def fixed_wing_3dof(x, u, t, data):
         gamma' = (g / V) (n cos(phi) - cos(gamma))
         psi'   = g n sin(phi) / (V cos(gamma))
 
-    with g = 9.81, drag coefficient k_d = 0.01, and V kept away from zero
-    by the state lower bound (set V_lb > 0 in the VGP).
+    with g = 9.81e-3 km/s^2, drag k_d = 10 /km, and V kept away from
+    zero by the state lower bound (set V_lb > 0 in the VGP).
     """
-    g = 9.81
-    k_d = 0.01
-    V = jnp.maximum(x[3], 1e-3)
+    g = 9.81e-3
+    k_d = 10.0
+    V = jnp.maximum(x[3], 1e-4)
     gamma, psi = x[4], x[5]
     n, phi, thr = u[0], u[1], u[2]
     cg = jnp.cos(gamma)

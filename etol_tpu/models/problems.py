@@ -208,17 +208,19 @@ def point_mass_3d(
 def fixed_wing_3dof(
     nsteps: int = 100,
     dt: float = 0.5,
-    x0=(0.0, 0.0, 100.0, 20.0, 0.0, 0.0),
-    xf=(800.0, 600.0, 150.0, 20.0, 0.0, 0.8),
+    x0=(0.0, 0.0, 0.100, 0.020, 0.0, 0.0),
+    xf=(0.800, 0.600, 0.150, 0.020, 0.0, 0.8),
 ):
     """BASELINE config 4: nonlinear fixed-wing point-mass, N=100,
-    pseudospectral-style (Hermite-Simpson) collocation."""
+    pseudospectral-style (Hermite-Simpson) collocation. Km units (see
+    dynamics.fixed_wing_3dof): the 800 m cross-range climb becomes
+    0.8 km."""
     vgp = VGP(nsteps=nsteps, dt=dt)
     vgp.x0 = list(x0)
     vgp.xf = list(xf)
-    vgp.xtol = [5.0, 5.0, 5.0, 2.0, 0.2, 0.2]
-    vgp.xlower = [-5e3, -5e3, 20.0, 10.0, -0.5, -np.pi]
-    vgp.xupper = [5e3, 5e3, 500.0, 40.0, 0.5, np.pi]
+    vgp.xtol = [0.005, 0.005, 0.005, 0.002, 0.2, 0.2]
+    vgp.xlower = [-5.0, -5.0, 0.020, 0.010, -0.5, -np.pi]
+    vgp.xupper = [5.0, 5.0, 0.500, 0.040, 0.5, np.pi]
     vgp.ulower = [0.5, -1.0, 0.0]   # load factor, bank, throttle
     vgp.uupper = [3.0, 1.0, 1.0]
     nlp = NLP(

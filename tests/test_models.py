@@ -66,7 +66,7 @@ def test_fixed_wing_reaches_goal_band():
     np.testing.assert_allclose(
         np.asarray(X[-1, :3]),
         np.asarray(data.xf[:3]),
-        atol=6.0,  # within the declared 5.0 tolerance band + slack
+        atol=0.006,  # km: within the declared 5 m band + slack
     )
     assert float(jnp.min(U[:, 2])) >= -1e-4  # throttle in [0, 1]
     assert float(jnp.max(U[:, 2])) <= 1.0 + 1e-4
