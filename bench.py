@@ -28,7 +28,7 @@ import numpy as np
 
 from etol_tpu import batch_tile
 from etol_tpu.models import uas_2d
-from etol_tpu.solve import SolverConfig, al_sqp
+from etol_tpu.solve import SolverConfig, al_sqp, shooting
 
 # north-star: 10k solves/s on a v5p-16 (16 chips) => 625 solves/s/chip
 BASELINE_PER_CHIP = 625.0
@@ -69,11 +69,21 @@ def main():
 
     vgp, nlp = uas_2d(nsteps=nsteps)
     data, dims = vgp.to_device()
-    cfg = SolverConfig(max_outer=16, max_inner=30)
+    kkt = "pallas" if jax.default_backend() == "tpu" else "scan"
+    cfg = SolverConfig(max_outer=16, max_inner=30, kkt_solver=kkt)
+    log(f"kkt_solver: {kkt}")
+    shoot = int(os.environ.get("BENCH_SHOOTING", "512"))
     bdata = make_batch(nlp, data, B, jax.random.PRNGKey(0))
 
     def run(d):
-        res = al_sqp.solve_batched.__wrapped__(nlp, cfg, d, None, None)
+        z0 = None
+        if shoot:
+            # collision-free shooting seed per lane (the recommended
+            # entry for nonconvex fields; rollout cost is trivial)
+            z0 = jax.vmap(
+                lambda dat: shooting.plan_guess(nlp, dat, shoot)
+            )(d)
+        res = al_sqp.solve_batched.__wrapped__(nlp, cfg, d, z0, None)
         # fold to scalars on-device so the sync below transfers O(1)
         # bytes; pulling a scalar to host is the only reliable
         # completion barrier on tunneled backends

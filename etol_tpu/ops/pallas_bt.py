@@ -226,3 +226,59 @@ def solve_lanes(D, O, r, interpret: bool = False):
 
 def usable(K: int, w: int) -> bool:
     return w <= 8 and _vmem_bytes(K, w, LANES) <= _VMEM_CAP
+
+
+# ---------------------------------------------------------------------------
+# vmap-aware single-problem entry point: lets the per-lane solver code
+# (al_sqp newton_step) transparently hit the lane-major kernel when the
+# whole solve is vmapped over a batch. Unbatched calls fall back to the
+# sequential scan. (Measured on v5e, B=1024 K=51 w=5: scan 59ms,
+# cyclic reduction 6.2ms, this kernel 3.1ms per batched solve.)
+# ---------------------------------------------------------------------------
+from jax.custom_batching import custom_vmap  # noqa: E402
+
+from ..solve import btridiag as _btridiag  # noqa: E402
+
+
+@custom_vmap
+def solve_auto(D, O, r):
+    """Solve one block-tridiagonal system; batched via the Pallas
+    lane-major kernel when vmapped (falls back to cyclic reduction when
+    the kernel's VMEM/width guards fail). The unbatched path also uses
+    cyclic reduction — on TPU a single K-sequential scan is pure
+    latency (59ms vs 6ms at K=51 on v5e)."""
+    from . import cyclic_reduction as _cr
+
+    return _cr.solve(D, O, r)
+
+
+@solve_auto.def_vmap
+def _solve_auto_vmap(axis_size, in_batched, D, O, r):
+    def ensure(x, batched):
+        if batched:
+            return x
+        return jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+    D = ensure(D, in_batched[0])
+    O = ensure(O, in_batched[1])
+    r = ensure(r, in_batched[2])
+    B, K, w, _ = D.shape
+    if usable(K, w):
+        pad = (-B) % LANES
+        if pad:
+            eye = jnp.broadcast_to(
+                jnp.eye(w, dtype=D.dtype), (pad, K, w, w)
+            )
+            D = jnp.concatenate([D, eye], axis=0)
+            O = jnp.concatenate(
+                [O, jnp.zeros((pad,) + O.shape[1:], O.dtype)], axis=0
+            )
+            r = jnp.concatenate(
+                [r, jnp.zeros((pad,) + r.shape[1:], r.dtype)], axis=0
+            )
+        out = solve_lanes(D, O, r, False)[:B]
+    else:
+        from . import cyclic_reduction as _cr
+
+        out = jax.vmap(_cr.solve)(D, O, r)
+    return out, True

@@ -304,7 +304,14 @@ class _ALFuncs:
         # H~ p~ = -S g, then p = S p~
         s = self.scale
         rhs = jnp.where(free, -(s * grad), 0.0)
-        if cfg.kkt_solver == "cr":
+        if cfg.kkt_solver == "pallas":
+            # lane-major Pallas kernel under vmap; scan when unbatched
+            from ..ops import pallas_bt as _pbt
+
+            pt = _pbt.solve_auto(D, O, rhs)
+            resid = rhs - btridiag.matvec(D, O, pt)
+            pt = pt + _pbt.solve_auto(D, O, resid)
+        elif cfg.kkt_solver == "cr":
             from ..ops import cyclic_reduction as _cr
 
             pt = _cr.solve(D, O, rhs)
