@@ -17,15 +17,19 @@ from .al_sqp import (
     solve_multistart,
 )
 from . import al_sqp, btridiag, shooting
+from .branch_bound import MIPResult, integer_mask, solve_milp
 from .refine import solve_refined
 
 __all__ = [
     "SolverConfig",
     "SolveResult",
+    "MIPResult",
     "solve",
     "solve_batched",
     "solve_multistart",
     "solve_refined",
+    "solve_milp",
+    "integer_mask",
     "al_sqp",
     "btridiag",
     "shooting",

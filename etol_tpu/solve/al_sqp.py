@@ -122,7 +122,8 @@ class _ALFuncs:
     factored out so the debug harness (tools/debug_solver.py) can drive
     single Newton steps eagerly with full visibility."""
 
-    def __init__(self, nlp: NLP, cfg: SolverConfig, data: VGPData):
+    def __init__(self, nlp: NLP, cfg: SolverConfig, data: VGPData,
+                 box=None):
         self.nlp, self.cfg, self.data = nlp, cfg, data
         d = nlp.dims
         self.K, self.w = d.nodes, d.nx + d.nu
@@ -130,6 +131,12 @@ class _ALFuncs:
         lb, ub = nlp.bounds(data)
         self.lb = lb.reshape(self.K, self.w)
         self.ub = ub.reshape(self.K, self.w)
+        if box is not None:
+            # extra per-entry box (branch-and-bound node, variable fixing):
+            # intersect with the NLP bounds
+            blo, bhi = box
+            self.lb = jnp.maximum(self.lb, blo.reshape(self.K, self.w))
+            self.ub = jnp.minimum(self.ub, bhi.reshape(self.K, self.w))
         self.ks_step = jnp.arange(d.nsteps)
         self.ks_node = jnp.arange(self.K)
         self.pinned = (self.ub - self.lb) <= 1e-12
@@ -372,13 +379,14 @@ class _ALFuncs:
 
 
 def _solve_single(
-    nlp: NLP, cfg: SolverConfig, data: VGPData, z0, lam0, rho_init=None
+    nlp: NLP, cfg: SolverConfig, data: VGPData, z0, lam0, rho_init=None,
+    box=None,
 ):
     d = nlp.dims
     dtype = data.x0.dtype
     lam_def0, lam_eq0, mu0 = lam0
 
-    F = _ALFuncs(nlp, cfg, data)
+    F = _ALFuncs(nlp, cfg, data, box)
     lb, ub = F.lb, F.ub
     Z0 = jnp.clip(z0.reshape(F.K, F.w), lb, ub)
     residuals = F.residuals
