@@ -111,6 +111,17 @@ class TrajectoryOptimizer:
         trapezoidal, hermite_simpson."""
         self._scheme = scheme
 
+    def set_planner(self, name: str) -> None:
+        """eOMPL setPlanner parity (eOMPL.cpp:132): choose the sampling
+        planner {RRT, SST, EST, KPIECE, PDST} used by :meth:`plan`."""
+        from .solve import PLANNERS
+
+        if name.strip().upper() not in PLANNERS:
+            raise ValueError(
+                f"unknown planner {name!r}; choose from {PLANNERS}"
+            )
+        self._planner = name.strip().upper()
+
     # ---- lifecycle ----------------------------------------------------
     def setup(self, pad: Optional[dict] = None) -> None:
         """Freeze the problem into (NLP, VGPData) and build the jitted
@@ -153,6 +164,64 @@ class TrajectoryOptimizer:
             self.result.z,
             (self.result.lam_def, self.result.lam_eq, self.result.mu),
             self.result.rho,
+        )
+        return self.result
+
+    def plan(
+        self,
+        n_samples: int = 1024,
+        key: Optional[jax.Array] = None,
+        **kw,
+    ) -> SolveResult:
+        """Sampling-based solve — the eOMPL backend's role
+        (eOMPL.cpp:161-173): run the planner chosen by
+        :meth:`set_planner` (default PDST shooting), pack the best
+        rollout as a result. Status is SOLVED when the rollout reaches
+        the goal band collision-free, MAX_ITER otherwise (the planner's
+        "approximate solution" outcome)."""
+        if self.nlp is None:
+            raise ValueError("setup() must run before plan()")
+        from .solve import planners
+
+        t0 = time.time()
+        X, U, info = planners.plan(
+            getattr(self, "_planner", "PDST"),
+            self.nlp.dynamics,
+            self.dims.nsteps,
+            self.data,
+            n_samples,
+            key,
+            **kw,
+        )
+        z = jnp.concatenate([X, U], axis=-1).reshape(-1)
+        jax.block_until_ready(z)
+        self._solve_time = time.time() - t0
+        at_goal = bool(
+            jnp.all(jnp.abs(X[-1] - self.data.xf) <= self.data.xtol)
+        )
+        g = self.nlp.node_ineqs(z, self.data)
+        viol_in = jnp.max(jnp.maximum(g, 0.0), initial=0.0)
+        collision_free = bool(viol_in <= 1e-6)
+        zero = jnp.zeros((), z.dtype)
+        m_eq, m_in = al_sqp._result_sizes(self.nlp, self.data)
+        self.result = SolveResult(
+            z=z,
+            obj=self.nlp.score(z, self.data),
+            status=jnp.asarray(
+                int(Status.SOLVED)
+                if at_goal and collision_free
+                else int(Status.MAX_ITER),
+                jnp.int32,
+            ),
+            outer_iters=jnp.asarray(0, jnp.int32),
+            inner_iters=jnp.asarray(0, jnp.int32),
+            viol_eq=zero,
+            viol_in=viol_in,
+            grad_norm=zero,
+            lam_def=jnp.zeros((self.dims.nsteps, self.dims.nx), z.dtype),
+            lam_eq=jnp.zeros((self.dims.nodes, m_eq), z.dtype),
+            mu=jnp.zeros((self.dims.nodes, m_in), z.dtype),
+            rho=jnp.asarray(self.config.rho0, z.dtype),
         )
         return self.result
 

@@ -16,8 +16,9 @@ from .al_sqp import (
     solve_batched,
     solve_multistart,
 )
-from . import al_sqp, btridiag, shooting
+from . import al_sqp, btridiag, planners, shooting
 from .branch_bound import MIPResult, integer_mask, solve_milp
+from .planners import PLANNERS
 from .refine import solve_refined
 
 __all__ = [
@@ -32,5 +33,7 @@ __all__ = [
     "integer_mask",
     "al_sqp",
     "btridiag",
+    "planners",
+    "PLANNERS",
     "shooting",
 ]
