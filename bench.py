@@ -70,7 +70,13 @@ def main():
     vgp, nlp = uas_2d(nsteps=nsteps)
     data, dims = vgp.to_device()
     kkt = "pallas" if jax.default_backend() == "tpu" else "scan"
-    cfg = SolverConfig(max_outer=16, max_inner=30, kkt_solver=kkt)
+    # rho0=316 pairs with the collision-free shooting seeds below: the
+    # do-nothing low-rho outers are skipped (32/32 scattered lanes solve,
+    # ~27% fewer Newton iterations than rho0=10). High rho0 without a
+    # good seed IS harmful — keep the library default at 10.
+    cfg = SolverConfig(
+        max_outer=32, max_inner=100, rho0=316.0, kkt_solver=kkt
+    )
     log(f"kkt_solver: {kkt}")
     shoot = int(os.environ.get("BENCH_SHOOTING", "512"))
     bdata = make_batch(nlp, data, B, jax.random.PRNGKey(0))

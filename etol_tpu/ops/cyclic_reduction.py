@@ -17,9 +17,15 @@ from __future__ import annotations
 import math
 from typing import Tuple
 
+import functools
+
 import jax.numpy as jnp
+from jax import lax
 
 from ..solve.btridiag import _chol_small, _tri_solve_small
+
+# full-f32 contraction (TPU f32 matmuls default to bf16 passes)
+_einsum = functools.partial(jnp.einsum, precision=lax.Precision.HIGHEST)
 
 
 def _inv_apply(Dk: jnp.ndarray, *rhs: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -98,15 +104,15 @@ def solve(D: jnp.ndarray, O: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
 
         D_new = (
             De
-            - mr * jnp.einsum("nij,njk->nik", Ue, XLr[:ne])
-            - ml * jnp.einsum("nij,njk->nik", Le, XUl[:ne])
+            - mr * _einsum("nij,njk->nik", Ue, XLr[:ne])
+            - ml * _einsum("nij,njk->nik", Le, XUl[:ne])
         )
-        U_new = -mr * jnp.einsum("nij,njk->nik", Ue, XUr[:ne])
-        L_new = -ml * jnp.einsum("nij,njk->nik", Le, XLl[:ne])
+        U_new = -mr * _einsum("nij,njk->nik", Ue, XUr[:ne])
+        L_new = -ml * _einsum("nij,njk->nik", Le, XLl[:ne])
         r_new = (
             re
-            - mr[..., 0] * jnp.einsum("nij,nj->ni", Ue, Xrr[:ne])
-            - ml[..., 0] * jnp.einsum("nij,nj->ni", Le, Xrl[:ne])
+            - mr[..., 0] * _einsum("nij,nj->ni", Ue, Xrr[:ne])
+            - ml[..., 0] * _einsum("nij,nj->ni", Le, Xrl[:ne])
         )
         Dc, Lc, Uc, rc = D_new, L_new, U_new, r_new
         n = ne
@@ -127,9 +133,9 @@ def solve(D: jnp.ndarray, O: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
         ]
         rhs = (
             ro
-            - jnp.einsum("nij,nj->ni", Lo, xl)
+            - _einsum("nij,nj->ni", Lo, xl)
             - xr_exists[:, None].astype(dtype)
-            * jnp.einsum("nij,nj->ni", Uo, xr)
+            * _einsum("nij,nj->ni", Uo, xr)
         )
         (xo,) = _inv_apply(Do, rhs[..., None])
         xo = xo[..., 0]

@@ -111,6 +111,27 @@ class TrajectoryOptimizer:
         trapezoidal, hermite_simpson."""
         self._scheme = scheme
 
+    def set_solver_options(self, options: dict) -> dict:
+        """Apply a reference-dialect option dict (PSOPT algorithm
+        fields, IPOPT opt_settings, Dymos driver fields — see
+        solve/options.py) to this optimizer's SolverConfig. Returns the
+        translation hints, including any keys with no equivalent."""
+        from .solve.options import nlp_config
+
+        self.config, hints = nlp_config(options, self.config)
+        if "scheme" in hints:
+            self._scheme = hints["scheme"]
+        if "nsteps" in hints and not self.vgp.nsteps:
+            self.vgp.nsteps = hints["nsteps"]
+        self._solver_hints = hints
+        return hints
+
+    def set_optimizer(self, name: str) -> None:
+        """eDymos setOptimizer parity (eDymos.hpp:108): IPOPT/SNOPT
+        requests are accepted — both collapse onto the native AL-SQP —
+        and recorded for debug dumps."""
+        self.set_solver_options({"optimizer": name})
+
     def set_planner(self, name: str) -> None:
         """eOMPL setPlanner parity (eOMPL.cpp:132): choose the sampling
         planner {RRT, SST, EST, KPIECE, PDST} used by :meth:`plan`."""

@@ -18,6 +18,7 @@ from .al_sqp import (
 )
 from . import al_sqp, btridiag, planners, shooting
 from .branch_bound import MIPResult, integer_mask, solve_milp
+from .options import nlp_config
 from .planners import PLANNERS
 from .refine import solve_refined
 
@@ -31,6 +32,7 @@ __all__ = [
     "solve_refined",
     "solve_milp",
     "integer_mask",
+    "nlp_config",
     "al_sqp",
     "btridiag",
     "planners",

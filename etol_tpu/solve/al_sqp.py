@@ -35,6 +35,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
+
+# full-f32 contraction: TPU f32 matmuls default to bf16 passes, which
+# corrupts the Gauss-Newton blocks once rho is large
+_einsum = functools.partial(jnp.einsum, precision=lax.Precision.HIGHEST)
+_mm = functools.partial(jnp.matmul, precision=lax.Precision.HIGHEST)
 
 from ..core.problem import VGPData
 from ..core.types import Status
@@ -61,16 +67,24 @@ class SolverConfig:
     tol_cons: float = 1e-4      # constraint violation inf-norm (the
                                 # parity target is 1e-3 state error)
     rho0: float = 10.0          # initial AL penalty
-    rho_growth: float = 5.0
+    rho_growth: float = 2.0     # gentle growth: aggressive growth (5x)
+                                # outruns the inner Newton on nonlinear
+                                # dynamics and death-spirals into an
+                                # f32-ill-conditioned subproblem (0/32
+                                # scattered unicycle lanes solve at 5x,
+                                # 32/32 at 2x)
     rho_max: float = 1e5        # f32: factorizations degrade beyond this
     viol_decrease: float = 0.5  # required viol reduction else rho grows
     reg: float = 1e-6           # base diagonal regularization
-    hessian: str = "gn"         # constraint curvature: "gn" (Gauss-
-                                # Newton only — best on the canonical
-                                # set: exact terms make blocks
-                                # indefinite and steer into worse local
-                                # minima), "defect" (dynamics curvature
-                                # only), "full"
+    hessian: str = "defect"     # constraint curvature: "defect" includes
+                                # the exact dynamics curvature (λ+ρc)·∇²c
+                                # — free on linear dynamics (term is 0,
+                                # identical iterates) and decisive on
+                                # nonlinear ones (unicycle: GN-only
+                                # directions backtrack to 1e-3 steps once
+                                # ρc is large). "gn" = Gauss-Newton only;
+                                # "full" adds inequality curvature (can
+                                # turn blocks indefinite near obstacles)
     lm0: float = 1e-3           # initial Levenberg damping (relative)
     lm_min: float = 1e-6
     lm_max: float = 30.0        # damping beyond this = at the f32 floor
@@ -208,12 +222,12 @@ class _ALFuncs:
             De = jnp.zeros((w, w), dtype)
             Ge = jax.jacfwd(lambda v: nlp.node_eq(v, k, data))(zn)
             if Ge.shape[0]:  # static: skip when the problem has none
-                De = De + Ge.T @ Ge
+                De = De + _mm(Ge.T, Ge)
             Gi = jax.jacfwd(lambda v: nlp.node_ineq(v, k, data))(zn)
             if Gi.shape[0]:
                 g_k = nlp.node_ineq(zn, k, data)
                 act = (mu_k + rho * g_k > 0).astype(dtype)
-                De = De + (Gi * act[:, None]).T @ Gi
+                De = De + _mm((Gi * act[:, None]).T, Gi)
             H = Hl + rho * De
             if cfg.hessian == "full":
                 if Gi.shape[0]:
@@ -243,9 +257,9 @@ class _ALFuncs:
             return A, B
 
         A, B = jax.vmap(step_jacs)(Z[:-1], Z[1:], self.ks_step)
-        D = D.at[:-1].add(rho * jnp.einsum("kij,kil->kjl", A, A))
-        D = D.at[1:].add(rho * jnp.einsum("kij,kil->kjl", B, B))
-        O = rho * jnp.einsum("kij,kil->kjl", A, B)
+        D = D.at[:-1].add(rho * _einsum("kij,kil->kjl", A, A))
+        D = D.at[1:].add(rho * _einsum("kij,kil->kjl", B, B))
+        O = rho * _einsum("kij,kil->kjl", A, B)
 
         if cfg.hessian in ("defect", "full"):
             # exact defect curvature: hessian over the node pair of

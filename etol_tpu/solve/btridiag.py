@@ -17,11 +17,18 @@ Convention: H[k,k] = D[k] (shape [K, w, w]), H[k, k+1] = O[k]
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# TPU MXU note: f32 matmuls default to fast bf16-pass lowering, which is
+# fatal for Newton/KKT numerics once the AL penalty is large — every
+# contraction on this path pins full-f32 accumulation explicitly.
+_mm = functools.partial(jnp.matmul, precision=lax.Precision.HIGHEST)
+_einsum = functools.partial(jnp.einsum, precision=lax.Precision.HIGHEST)
 
 
 # Block widths up to this use fully unrolled closed-form factorizations:
@@ -105,7 +112,7 @@ def factor(D: jnp.ndarray, O: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         Lk = _chol(S)
         # W = L_k^{-1} O_k  => L_sub = W^T
         W = _tri_solve(Lk, Ok)
-        S_next = Dk1 - W.T @ W
+        S_next = Dk1 - _mm(W.T, W)
         return S_next, (Lk, W.T)
 
     if K == 1:
@@ -128,7 +135,7 @@ def solve_factored(
     # Forward: L y = r;  y_k = L_k^{-1} (r_k - L_sub[k-1] y_{k-1})
     def fwd(y_prev, inputs):
         Lk, Lsub_prev, rk = inputs
-        rhs = rk - Lsub_prev @ y_prev
+        rhs = rk - _mm(Lsub_prev, y_prev)
         yk = _tri_solve(Lk, rhs[:, None])[:, 0]
         return yk, yk
 
@@ -142,7 +149,7 @@ def solve_factored(
     # Backward: L^T x = y;  x_k = L_k^{-T} (y_k - L_sub[k]^T x_{k+1})
     def bwd(x_next, inputs):
         Lk, Lsub_k, yk = inputs
-        rhs = yk - Lsub_k.T @ x_next
+        rhs = yk - _mm(Lsub_k.T, x_next)
         xk = _tri_solve(Lk, rhs[:, None], trans=True)[:, 0]
         return xk, xk
 
@@ -163,10 +170,10 @@ def solve(D: jnp.ndarray, O: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
 
 def matvec(D: jnp.ndarray, O: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """H x for testing/iterative refinement. x is [K, w]."""
-    y = jnp.einsum("kij,kj->ki", D, x)
+    y = _einsum("kij,kj->ki", D, x)
     if O.shape[0] > 0:
-        y = y.at[:-1].add(jnp.einsum("kij,kj->ki", O, x[1:]))
-        y = y.at[1:].add(jnp.einsum("kji,kj->ki", O, x[:-1]))
+        y = y.at[:-1].add(_einsum("kij,kj->ki", O, x[1:]))
+        y = y.at[1:].add(_einsum("kji,kj->ki", O, x[:-1]))
     return y
 
 

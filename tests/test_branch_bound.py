@@ -65,7 +65,7 @@ def _brute_force_reach(nsteps, xf, xtol):
 def test_bb_matches_brute_force():
     vgp, nlp = _integer_reach_1d(nsteps=4, xf=3.0, xtol=0.25)
     data, dims = vgp.to_device()
-    cfg = SolverConfig(max_outer=8, max_inner=20)
+    cfg = SolverConfig(max_outer=16, max_inner=40)
     res = solve_milp(
         nlp, cfg, data, integer_mask(vgp), wave=8, max_nodes=128
     )
@@ -88,7 +88,7 @@ def test_bb_relaxation_below_integer_optimum():
     (4*(0.75)^2 = 2.25): B&B must not return the relaxed value."""
     vgp, nlp = _integer_reach_1d(nsteps=4, xf=3.0, xtol=0.25)
     data, _ = vgp.to_device()
-    cfg = SolverConfig(max_outer=8, max_inner=20)
+    cfg = SolverConfig(max_outer=16, max_inner=40)
     res = solve_milp(
         nlp, cfg, data, integer_mask(vgp), wave=8, max_nodes=128
     )
@@ -118,7 +118,7 @@ def test_bb_binary_control():
         use_obstacles=False,
     )
     data, dims = vgp.to_device()
-    cfg = SolverConfig(max_outer=8, max_inner=20)
+    cfg = SolverConfig(max_outer=16, max_inner=40)
     res = solve_milp(
         nlp, cfg, data, integer_mask(vgp), wave=8, max_nodes=128
     )
