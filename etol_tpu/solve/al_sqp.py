@@ -48,6 +48,14 @@ from ..transcribe.nlp import NLP
 from . import btridiag
 
 
+# step-size grid for the parallel line search: the same halving schedule
+# the sequential 24-deep backtracking search walked, evaluated all at
+# once. (A thinned grid — skipping exponents past 7 — measurably loses
+# converged lanes on the canonical nonconvex fields: stiff high-rho
+# subproblems live or die on exact step sizes.)
+_LS_EXPONENTS = tuple(range(24))
+
+
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
     """Static solver knobs (hashable; part of the jit cache key).
@@ -90,6 +98,22 @@ class SolverConfig:
     lm_max: float = 30.0        # damping beyond this = at the f32 floor
     ls_backtracks: int = 24
     ls_c1: float = 1e-4
+    ls_grid: int = 24           # parallel line search: the first ls_grid
+                                # alphas of _LS_EXPONENTS, evaluated in ONE
+                                # batched residual pass (a sequential
+                                # backtracking while_loop runs lockstep
+                                # across a vmapped batch — one deep-
+                                # backtracking lane makes every lane pay
+                                # per step). The grid is dense near 1 and
+                                # reaches ~1e-7: stiff high-rho subproblems
+                                # genuinely need tiny steps, and treating
+                                # them as failures stalls the lane and
+                                # death-spirals the penalty schedule
+    max_total: int = 0          # global Newton-iteration budget across all
+                                # outer rounds; 0 = max_outer * max_inner.
+                                # The real wall-clock knob for batched
+                                # solves: the slowest lane defines the
+                                # runtime of the whole vmapped while_loop
     inner_tol0: float = 1e-2    # LANCELOT-style: inner tol tightens with rho
     kkt_solver: str = "scan"    # "scan" (sequential block Cholesky) or
                                 # "cr" (cyclic reduction: log-depth
@@ -174,7 +198,35 @@ class _ALFuncs:
         # noise floor is eps * |state|; dividing by max(1, state scale)
         # makes tol_cons a relative tolerance on large-range problems
         self.cscale = jnp.maximum(var_scale(data.x_lb, data.x_ub), 1.0)
+        # moving-obstacle centers are a function of node TIME only: build
+        # the [K, T, D] table once so the hot path (every AL value,
+        # gradient, Hessian and line-search candidate) is gather-free
+        from ..transcribe import obstacles as _obs
+
+        ts = jnp.arange(self.K, dtype=self.dtype) * data.dt
+        self.track_ctrs = _obs.track_centers(ts, data.tracks)
         self.al_grad = jax.grad(self.al_value)
+
+    def node_ineq_c(self, zn, k, tc_k):
+        """nlp.node_ineq with the precomputed track-center row tc_k
+        [T, D] — identical values and stacking order."""
+        nlp, data = self.nlp, self.data
+        d = nlp.dims
+        x, u = zn[: d.nx], zn[d.nx :]
+        t = k.astype(zn.dtype) * data.dt
+        from ..transcribe import obstacles as _obs
+
+        parts = []
+        if nlp.use_obstacles:
+            gv = _obs.collision_values_cached(
+                x, tc_k, data.obstacles, data.tracks, nlp.obstacle_form
+            )
+            parts.append(gv + nlp.obstacle_margin)
+        for g in nlp.path_ineq:
+            parts.append(jnp.atleast_1d(g(x, u, t, data)).reshape(-1))
+        if not parts:
+            return jnp.zeros((0,), zn.dtype)
+        return jnp.concatenate(parts)
 
     def residuals(self, Z):
         nlp, data = self.nlp, self.data
@@ -184,9 +236,7 @@ class _ALFuncs:
         c_eq = jax.vmap(lambda zn, k: nlp.node_eq(zn, k, data))(
             Z, self.ks_node
         )
-        g = jax.vmap(lambda zn, k: nlp.node_ineq(zn, k, data))(
-            Z, self.ks_node
-        )
+        g = jax.vmap(self.node_ineq_c)(Z, self.ks_node, self.track_ctrs)
         return c_def, c_eq, g
 
     def cost(self, Z):
@@ -197,14 +247,21 @@ class _ALFuncs:
             )
         )
 
-    def al_value(self, Z, lam_def, lam_eq, mu, rho):
-        c_def, c_eq, g = self.residuals(Z)
-        J = self.cost(Z)
+    def al_from_parts(self, J, c_def, c_eq, g, lam_def, lam_eq, mu, rho):
+        """Assemble the AL value from already-computed residual parts
+        (elementwise — lets the line search and the outer update share one
+        residual evaluation)."""
         J = J + jnp.sum(lam_def * c_def) + 0.5 * rho * jnp.sum(c_def**2)
         J = J + jnp.sum(lam_eq * c_eq) + 0.5 * rho * jnp.sum(c_eq**2)
         s = jnp.maximum(0.0, mu + rho * g)
         J = J + (0.5 / rho) * jnp.sum(s * s - mu * mu)
         return J
+
+    def al_value(self, Z, lam_def, lam_eq, mu, rho):
+        c_def, c_eq, g = self.residuals(Z)
+        return self.al_from_parts(
+            self.cost(Z), c_def, c_eq, g, lam_def, lam_eq, mu, rho
+        )
 
     def gn_blocks(self, Z, lam_def, lam_eq, mu, rho, free, lm):
         """AL Hessian blocks: Gauss-Newton + (optionally) the exact
@@ -217,26 +274,26 @@ class _ALFuncs:
         nlp, data, cfg = self.nlp, self.data, self.cfg
         w, dtype = self.w, self.dtype
 
-        def node_blocks(zn, k, mu_k, lam_eq_k):
+        def node_blocks(zn, k, mu_k, lam_eq_k, tc_k):
             Hl = jax.hessian(lambda v: nlp.node_cost(v, k, data))(zn)
             De = jnp.zeros((w, w), dtype)
             Ge = jax.jacfwd(lambda v: nlp.node_eq(v, k, data))(zn)
             if Ge.shape[0]:  # static: skip when the problem has none
                 De = De + _mm(Ge.T, Ge)
-            Gi = jax.jacfwd(lambda v: nlp.node_ineq(v, k, data))(zn)
+            Gi = jax.jacfwd(lambda v: self.node_ineq_c(v, k, tc_k))(zn)
             if Gi.shape[0]:
-                g_k = nlp.node_ineq(zn, k, data)
+                g_k = self.node_ineq_c(zn, k, tc_k)
                 act = (mu_k + rho * g_k > 0).astype(dtype)
                 De = De + _mm((Gi * act[:, None]).T, Gi)
             H = Hl + rho * De
             if cfg.hessian == "full":
                 if Gi.shape[0]:
                     s = jax.lax.stop_gradient(
-                        jnp.maximum(0.0, mu_k + rho * nlp.node_ineq(
-                            zn, k, data))
+                        jnp.maximum(0.0, mu_k + rho * self.node_ineq_c(
+                            zn, k, tc_k))
                     )
                     H = H + jax.hessian(
-                        lambda v: jnp.sum(s * nlp.node_ineq(v, k, data))
+                        lambda v: jnp.sum(s * self.node_ineq_c(v, k, tc_k))
                     )(zn)
                 if Ge.shape[0]:
                     se = jax.lax.stop_gradient(
@@ -247,7 +304,9 @@ class _ALFuncs:
                     )(zn)
             return H
 
-        D = jax.vmap(node_blocks)(Z, self.ks_node, mu, lam_eq)
+        D = jax.vmap(node_blocks)(
+            Z, self.ks_node, mu, lam_eq, self.track_ctrs
+        )
 
         # step coupling: defect Jacobians A_k = dc/dz_k, B_k = dc/dz_{k+1}
         def step_jacs(a, b, k):
@@ -307,16 +366,12 @@ class _ALFuncs:
         pg = (Z - jnp.clip(Z - s * grad, self.lb, self.ub)) / s
         return jnp.max(jnp.abs(pg))
 
-    def newton_step(self, Z, lam_def, lam_eq, mu, rho, lm=None):
-        """One damped projected-Newton iteration; returns
-        (Znew, lm_next, diagnostics)."""
+    def direction(self, Z, grad, lam_def, lam_eq, mu, rho, lm):
+        """Damped projected-Newton direction from a precomputed AL
+        gradient; returns (p, bad)."""
         cfg = self.cfg
-        lb, ub = self.lb, self.ub
-        if lm is None:
-            lm = jnp.asarray(cfg.lm0, self.dtype)
-        grad = self.al_grad(Z, lam_def, lam_eq, mu, rho)
-        at_lb = Z <= lb + 1e-9
-        at_ub = Z >= ub - 1e-9
+        at_lb = Z <= self.lb + 1e-9
+        at_ub = Z >= self.ub - 1e-9
         free = ~(
             self.pinned | (at_lb & (grad > 0.0)) | (at_ub & (grad < 0.0))
         )
@@ -350,6 +405,22 @@ class _ALFuncs:
         # failed (indefinite block -> NaN) or the direction is uphill
         bad = ~jnp.all(jnp.isfinite(p)) | (jnp.sum(p * grad) >= 0.0)
         p = jnp.where(bad, s * rhs / ((1.0 + rho) * (1.0 + lm)), p)
+        return p, bad
+
+    def newton_step(self, Z, lam_def, lam_eq, mu, rho, lm=None):
+        """One damped projected-Newton iteration; returns
+        (Znew, lm_next, diagnostics)."""
+        cfg = self.cfg
+        lb, ub = self.lb, self.ub
+        if lm is None:
+            lm = jnp.asarray(cfg.lm0, self.dtype)
+        grad = self.al_grad(Z, lam_def, lam_eq, mu, rho)
+        p, bad = self.direction(Z, grad, lam_def, lam_eq, mu, rho, lm)
+        at_lb = Z <= lb + 1e-9
+        at_ub = Z >= ub - 1e-9
+        free = ~(
+            self.pinned | (at_lb & (grad > 0.0)) | (at_ub & (grad < 0.0))
+        )
 
         # projected backtracking Armijo line search
         val0 = self.al_value(Z, lam_def, lam_eq, mu, rho)
@@ -396,6 +467,27 @@ def _solve_single(
     nlp: NLP, cfg: SolverConfig, data: VGPData, z0, lam0, rho_init=None,
     box=None,
 ):
+    """Flattened AL-SQP: ONE ``lax.while_loop`` over Newton iterations.
+
+    The textbook nesting (outer AL rounds, each running an inner Newton
+    loop to tolerance) is hostile to a vmapped batch: every loop level
+    runs lockstep until the WORST lane's budget is spent, so one hard
+    lane drags the whole fleet through max_outer x max_inner masked
+    iterations. Here the outer multiplier/penalty update is folded into
+    the single iteration stream as an elementwise state transition that
+    fires per lane whenever that lane's inner subproblem has converged
+    (stationary to the LANCELOT omega-tolerance, stalled at its f32
+    floor, or out of its per-round budget). Every loop iteration is a
+    useful Newton step for every unconverged lane regardless of which
+    AL round it is in, and one global budget (``cfg.max_total``) bounds
+    the wall clock.
+
+    The line search evaluates the whole geometric step grid
+    0.5^j (j < ls_grid) in ONE batched residual pass instead of a
+    sequential backtracking while_loop (which a vmapped batch runs at
+    the speed of its deepest-backtracking lane), and the accepted
+    candidate's residuals feed the multiplier update for free.
+    """
     d = nlp.dims
     dtype = data.x0.dtype
     lam_def0, lam_eq0, mu0 = lam0
@@ -403,82 +495,115 @@ def _solve_single(
     F = _ALFuncs(nlp, cfg, data, box)
     lb, ub = F.lb, F.ub
     Z0 = jnp.clip(z0.reshape(F.K, F.w), lb, ub)
-    residuals = F.residuals
-    al_value = F.al_value
-    al_grad = F.al_grad
-    proj_grad_norm = F.proj_grad_norm
 
-    # ---- inner projected-Newton loop ----------------------------------
-    def inner_solve(Z, lam_def, lam_eq, mu, rho, tol_inner, lm):
-        def body(state):
-            Z, it, _, _, lm, noprog = state
-            Znew, lm_next, diag = F.newton_step(
-                Z, lam_def, lam_eq, mu, rho, lm
-            )
-            pgn = proj_grad_norm(
-                Znew, al_grad(Znew, lam_def, lam_eq, mu, rho)
-            )
-            # progress tracking: two consecutive iterations that cannot
-            # improve the AL beyond f32 resolution = this subproblem is
-            # at its numerical floor; burning the rest of the budget
-            # only wastes time (and flakes the convergence flag)
-            improved = (diag["val0"] - diag["val_new"]) > 1e-7 * (
-                1.0 + jnp.abs(diag["val0"])
-            )
-            noprog = jnp.where(improved, 0, noprog + 1)
-            stalled = noprog >= 2
-            done = (pgn <= tol_inner) | stalled
-            return Znew, it + 1, done, stalled, lm_next, noprog
+    max_total = cfg.max_total or cfg.max_outer * cfg.max_inner
+    nls = max(min(cfg.ls_grid, len(_LS_EXPONENTS)), 1)
+    alphas = 0.5 ** jnp.asarray(_LS_EXPONENTS[:nls], dtype)
 
-        def cond(state):
-            _, it, done, _, _, _ = state
-            return (~done) & (it < cfg.max_inner)
+    cd0, ce0, g0 = F.residuals(Z0)
+    cost0 = F.cost(Z0)
 
-        Z, it, conv, stalled, lm, _ = jax.lax.while_loop(
-            cond,
-            body,
-            (
-                Z,
-                jnp.asarray(0, jnp.int32),
-                jnp.asarray(False),
-                jnp.asarray(False),
-                lm,
-                jnp.asarray(0, jnp.int32),
-            ),
-        )
-        # conv: exited via the done test (stationary or stalled), not by
-        # exhausting the budget
-        return Z, it, lm, stalled, conv
+    rho0 = (
+        jnp.asarray(cfg.rho0, dtype)
+        if rho_init is None
+        else jnp.asarray(rho_init, dtype)
+    )
 
-    # ---- outer AL loop ------------------------------------------------
-    def outer_body(state):
-        (Z, lam_def, lam_eq, mu, rho, omega, lm, viol_prev, o_it, i_tot,
-         _, _) = state
+    def body(st):
+        (Z, cd, ce, g, cost, lam_def, lam_eq, mu, rho, omega, lm,
+         viol_prev, noprog, in_it, o_it, tot, done, _pgn) = st
+
+        # ---- gradient/value at the CURRENT consistent (Z, multiplier)
+        # pair; residuals are carried, so the value assembly is free
+        grad = F.al_grad(Z, lam_def, lam_eq, mu, rho)
+        val = F.al_from_parts(cost, cd, ce, g, lam_def, lam_eq, mu, rho)
+        pgn = F.proj_grad_norm(Z, grad)
         stat_floor = jnp.maximum(cfg.tol_stat, cfg.stat_eps * rho)
         tol_inner = jnp.maximum(stat_floor, omega)
-        Z, it, lm, stalled, conv = inner_solve(
-            Z, lam_def, lam_eq, mu, rho, tol_inner, lm
-        )
-        c_def, c_eq, g = residuals(Z)
+        stalled = noprog >= 2
+        inner_done = (pgn <= tol_inner) | stalled | (in_it >= cfg.max_inner)
+
         viol = jnp.maximum(
-            jnp.max(jnp.abs(c_def), initial=0.0),
-            jnp.max(jnp.abs(c_eq), initial=0.0),
+            jnp.max(jnp.abs(cd), initial=0.0),
+            jnp.max(jnp.abs(ce), initial=0.0),
         )
         viol = jnp.maximum(viol, jnp.max(jnp.maximum(g, 0.0), initial=0.0))
-        # KKT test at the *current* multipliers: the AL gradient equals the
+        # KKT test at the current multipliers: the AL gradient equals the
         # Lagrangian gradient up to O(rho*viol), so small viol + inner
-        # stationarity ⇒ KKT point
-        pgn = proj_grad_norm(Z, al_grad(Z, lam_def, lam_eq, mu, rho))
-        # KKT, up to the f32 floor: feasible + inner-stationary. An inner
-        # loop that stalled at its numerical floor counts as stationary
-        # provided pgn is within a sanity factor of the rho-scaled floor.
-        done = (viol <= cfg.tol_cons) & (
+        # stationarity => KKT point (stalled lanes pass with a sanity
+        # factor on the rho-scaled f32 floor)
+        done_now = inner_done & (viol <= cfg.tol_cons) & (
             (pgn <= stat_floor) | (stalled & (pgn <= 100.0 * stat_floor))
         )
-        # first-order multiplier update
-        lam_def = lam_def + rho * c_def
-        lam_eq = lam_eq + rho * c_eq
-        mu = jnp.maximum(0.0, mu + rho * g)
+        done_prev = done
+        done = done | done_now
+
+        # ---- Newton step for lanes still inside an inner round --------
+        # (lanes at an inner-round boundary spend this iteration on the
+        # multiplier update below: their step would mix a stale gradient
+        # with fresh multipliers)
+        p, bad_dir = F.direction(Z, grad, lam_def, lam_eq, mu, rho, lm)
+
+        # parallel Armijo line search over the alpha grid
+        Zc = jnp.clip(Z[None] + alphas[:, None, None] * p[None], lb, ub)
+        cdc, cec, gc = jax.vmap(F.residuals)(Zc)
+        costc = jax.vmap(F.cost)(Zc)
+        valc = jax.vmap(
+            lambda J, a, b, c: F.al_from_parts(
+                J, a, b, c, lam_def, lam_eq, mu, rho
+            )
+        )(costc, cdc, cec, gc)
+        decc = jnp.sum(grad[None] * (Zc - Z[None]), axis=(1, 2))
+        okc = (
+            (valc <= val + cfg.ls_c1 * decc)
+            & jnp.isfinite(valc)
+            & (decc < 0.0)
+        )
+        sel = jnp.argmax(okc)  # first passing alpha (argmax -> first True)
+        ls_ok = jnp.any(okc)
+        # equivalent sequential-backtrack count (for the lm adaptation
+        # thresholds, which were tuned against the halving search)
+        exps = jnp.asarray(_LS_EXPONENTS[:nls], dtype)
+        nsteps_ls = exps[sel] + 1.0
+
+        move = (~inner_done) & (~done) & ls_ok
+        Znew = jnp.where(move, Zc[sel], Z)
+        cd_n = jnp.where(move, cdc[sel], cd)
+        ce_n = jnp.where(move, cec[sel], ce)
+        g_n = jnp.where(move, gc[sel], g)
+        cost_n = jnp.where(move, costc[sel], cost)
+        val_new = jnp.where(move, valc[sel], val)
+
+        # Levenberg adaptation: full steps -> trust the model more;
+        # backtracked or failed steps -> damp harder
+        stepping = (~inner_done) & (~done)
+        lm_step = jnp.where(
+            ~ls_ok | bad_dir,
+            jnp.minimum(lm * 10.0, cfg.lm_max),
+            jnp.where(
+                nsteps_ls <= 1.0,
+                jnp.maximum(lm * 0.33, cfg.lm_min),
+                jnp.where(nsteps_ls > 3.0, lm * 3.0, lm),
+            ),
+        )
+        lm = jnp.where(stepping, lm_step, lm)
+        # progress tracking: two consecutive iterations that cannot
+        # improve the AL beyond f32 resolution = this subproblem is at
+        # its numerical floor; burning more budget only wastes time
+        improved = (val - val_new) > 1e-7 * (1.0 + jnp.abs(val))
+        noprog = jnp.where(
+            stepping, jnp.where(improved, 0, noprog + 1), noprog
+        )
+        in_it = jnp.where(stepping, in_it + 1, in_it)
+
+        # ---- outer (AL round) transition on inner_done lanes ----------
+        # (the final, converged round included: the nested formulation
+        # returned POST-update multipliers, which is what an MPC re-solve
+        # wants as its warm start)
+        u = inner_done & (~done_prev)
+        lam_def = jnp.where(u, lam_def + rho * cd, lam_def)
+        lam_eq = jnp.where(u, lam_eq + rho * ce, lam_eq)
+        mu = jnp.where(u, jnp.maximum(0.0, mu + rho * g), mu)
         # grow the penalty only while actually infeasible — growing it
         # during the stationarity-polish phase explodes the AL gradient.
         # NOTE on CPU test flakiness: AL from an infeasible guess on a
@@ -487,58 +612,62 @@ def _solve_single(
         # runs of hard problems are not run-to-run reproducible — use
         # solve_multistart (+ shooting seeds) for those.
         grow = (
-            (viol > cfg.viol_decrease * viol_prev)
+            u
+            & (viol > cfg.viol_decrease * viol_prev)
             & (viol > cfg.tol_cons)
-            & (~done)
         )
-        rho = jnp.where(
+        rho_new = jnp.where(
             grow, jnp.minimum(rho * cfg.rho_growth, cfg.rho_max), rho
         )
         # LANCELOT omega-schedule: tighten the inner tolerance on good
         # progress, reset against the new penalty on bad progress
         omega = jnp.where(
-            grow,
-            cfg.inner_tol0 / rho,
-            jnp.maximum(omega * 0.2, cfg.tol_stat),
+            u,
+            jnp.where(
+                grow,
+                cfg.inner_tol0 / rho_new,
+                jnp.maximum(omega * 0.2, cfg.tol_stat),
+            ),
+            omega,
         )
-        # relax the damping a little at each new outer problem so a
+        rho = rho_new
+        # relax the damping a little at each new outer round so a
         # high-lm episode doesn't slow later (easier) subproblems
-        lm = jnp.maximum(lm * 0.1, cfg.lm0)
+        lm = jnp.where(u, jnp.maximum(lm * 0.1, cfg.lm0), lm)
+        viol_prev = jnp.where(u, viol, viol_prev)
+        o_it = o_it + u.astype(jnp.int32)
+        in_it = jnp.where(u, 0, in_it)
+        noprog = jnp.where(u, 0, noprog)
+
         return (
-            Z, lam_def, lam_eq, mu, rho, omega, lm, viol, o_it + 1,
-            i_tot + it, done, pgn,
+            Znew, cd_n, ce_n, g_n, cost_n, lam_def, lam_eq, mu, rho,
+            omega, lm, viol_prev, noprog, in_it, o_it, tot + 1, done, pgn,
         )
 
-    def outer_cond(state):
-        *_, o_it, _, done, _pgn = state
-        return (~done) & (o_it < cfg.max_outer)
+    def cond(st):
+        (*_, o_it, tot, done, _pgn) = st
+        return (~done) & (o_it < cfg.max_outer) & (tot < max_total)
 
-    rho0 = (
-        jnp.asarray(cfg.rho0, dtype)
-        if rho_init is None
-        else jnp.asarray(rho_init, dtype)
-    )
     init = (
-        Z0,
-        lam_def0,
-        lam_eq0,
-        mu0,
-        rho0,
+        Z0, cd0, ce0, g0, cost0, lam_def0, lam_eq0, mu0, rho0,
         jnp.asarray(cfg.inner_tol0, dtype),
         jnp.asarray(cfg.lm0, dtype),
         jnp.asarray(jnp.inf, dtype),
-        jnp.asarray(0, jnp.int32),
-        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),   # noprog
+        jnp.asarray(0, jnp.int32),   # in_it
+        jnp.asarray(0, jnp.int32),   # o_it
+        jnp.asarray(0, jnp.int32),   # tot
         jnp.asarray(False),
         jnp.asarray(jnp.inf, dtype),
     )
-    (Z, lam_def, lam_eq, mu, rho, omega, lm, viol, o_it, i_tot, done,
-     pgn) = jax.lax.while_loop(outer_cond, outer_body, init)
+    (Z, cd, ce, g, cost, lam_def, lam_eq, mu, rho, omega, lm, viol_prev,
+     noprog, in_it, o_it, tot, done, pgn) = jax.lax.while_loop(
+        cond, body, init
+    )
 
-    c_def, c_eq, g = residuals(Z)
     viol_eq = jnp.maximum(
-        jnp.max(jnp.abs(c_def), initial=0.0),
-        jnp.max(jnp.abs(c_eq), initial=0.0),
+        jnp.max(jnp.abs(cd), initial=0.0),
+        jnp.max(jnp.abs(ce), initial=0.0),
     )
     viol_in = jnp.max(jnp.maximum(g, 0.0), initial=0.0)
     z = Z.reshape(-1)
@@ -555,7 +684,7 @@ def _solve_single(
         obj=nlp.score(z, data),
         status=status,
         outer_iters=o_it,
-        inner_iters=i_tot,
+        inner_iters=tot,
         viol_eq=viol_eq,
         viol_in=viol_in,
         grad_norm=pgn,

@@ -77,6 +77,39 @@ def track_values(
     return jnp.where(tracks.mask > 0, g, -1.0)
 
 
+def track_centers(ts: jnp.ndarray, tracks: TrackData) -> jnp.ndarray:
+    """Interpolated track centers at the node times ``ts`` [K] -> [K, T, D].
+
+    The centers depend on time only, never on the decision variables, so a
+    solver evaluates this ONCE per problem and reuses the table across every
+    AL/gradient/Hessian/line-search evaluation — the searchsorted+gather in
+    :func:`track_values` would otherwise run per node per iteration."""
+    def at_t(t):
+        return jax.vmap(
+            lambda times, xy: linear_interpolation(t, times, xy)
+        )(tracks.times, tracks.xy)  # [T, D]
+
+    return jax.vmap(at_t)(ts)
+
+
+def track_values_cached(
+    p: jnp.ndarray, centers_k: jnp.ndarray, tracks: TrackData
+) -> jnp.ndarray:
+    """Same values as :func:`track_values` but from a precomputed center row
+    ``centers_k`` [T, D] (one row of :func:`track_centers`). Pure elementwise
+    math — no gathers in the solver's hot path."""
+    T, D = centers_k.shape
+    pd = p[:D]
+    if pd.shape[0] < D:
+        pd = jnp.concatenate(
+            [pd, jnp.zeros((D - pd.shape[0],), p.dtype)]
+        )
+    d2 = jnp.sum(tracks.dim_mask * (pd[None, :] - centers_k) ** 2, axis=-1)
+    rsq = tracks.radius * tracks.radius
+    g = (rsq - d2) / jnp.maximum(rsq, 1e-12)
+    return jnp.where(tracks.mask > 0, g, -1.0)
+
+
 def halfspace_margins(p: jnp.ndarray, obs: ObstacleData) -> jnp.ndarray:
     """Signed containment margin per convex piece.
 
@@ -141,4 +174,18 @@ def collision_values(
     if form in ("pieces", "both"):
         parts.append(piece_values(p, obs))
     parts.append(track_values(p, t, tracks))
+    return jnp.concatenate(parts)
+
+
+def collision_values_cached(
+    p, centers_k, obs: ObstacleData, tracks: TrackData, form: str = "both"
+):
+    """:func:`collision_values` with precomputed track centers ``centers_k``
+    [T, D] — identical values and ordering, gather-free."""
+    parts = []
+    if form in ("ellipses", "both"):
+        parts.append(ellipse_values(p, obs))
+    if form in ("pieces", "both"):
+        parts.append(piece_values(p, obs))
+    parts.append(track_values_cached(p, centers_k, tracks))
     return jnp.concatenate(parts)
