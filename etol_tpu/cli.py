@@ -1,0 +1,246 @@
+"""Console entry points (installed as ``etol-*`` scripts via pyproject).
+
+The reference ships one runnable program per backend example wired to the
+shipped XML configs (container/singularity/ETOL-examples.def %apprun
+sections); these entries are the same acceptance surface for the TPU
+build: each one loads a canonical config, solves, and prints the score.
+
+All functions accept ``argv`` (defaulting to ``sys.argv[1:]``) so the
+container harness and tests can drive them in-process.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+from typing import Optional, Sequence
+
+
+def _respect_platform_env() -> None:
+    """TPU-image sitecustomize may override jax_platforms via jax.config;
+    re-assert the JAX_PLATFORMS env var before backends initialize."""
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
+def default_config(name: str) -> str:
+    """Path of a canonical shipped config (mip_2d_ex1.xml / ocp_2d_ex1.xml)."""
+    return os.path.join(os.path.dirname(__file__), "configs", name)
+
+
+def solve_ocp(argv: Optional[Sequence[str]] = None) -> int:
+    """Canonical smooth VGP (ocp_2d_ex1.xml) — etol_psopt_example1 analog."""
+    _respect_platform_env()
+    argv = list(sys.argv[1:] if argv is None else argv)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .core import trajectory
+    from .core.types import Status
+    from .models import canonical_ocp_2d
+    from .solve import SolverConfig, solve
+
+    xml = argv[0] if argv else None
+    vgp, nlp = canonical_ocp_2d(xml)
+    data, dims = vgp.to_device()
+
+    cfg = SolverConfig()
+    t0 = time.time()
+    res = solve(nlp, cfg, data)
+    res.z.block_until_ready()
+    t_first = time.time() - t0
+    t0 = time.time()
+    res = solve(nlp, cfg, data)
+    res.z.block_until_ready()
+    t_warm = time.time() - t0
+
+    X, U = nlp.unpack(res.z)
+    ts = np.arange(dims.nodes) * vgp.dt
+
+    print("\n!!!!!!!!!!!!!!!!!Results!!!!!!!!!!!!!!!!!")
+    print(f"Status:\t\t\t{Status(int(res.status)).name}")
+    print(f"Minimization Score:\t{float(res.obj):.6f}")
+    print(f"Constraint viol (eq/in):\t{float(res.viol_eq):.2e} "
+          f"{float(res.viol_in):.2e}")
+    print(f"Iterations (outer/inner):\t{int(res.outer_iters)}/"
+          f"{int(res.inner_iters)}")
+    print(f"Solve time: first={t_first:.2f}s (incl. compile) "
+          f"warm={t_warm*1e3:.1f}ms")
+    fx = trajectory.save((jnp.asarray(ts), X), "state_etol_tpu.csv")
+    fu = trajectory.save((jnp.asarray(ts), U), "control_etol_tpu.csv")
+    print(f"State variables saved in {fx}")
+    print(f"Control variables saved in {fu}")
+    print("x0 =", np.asarray(X[0]), " xN =", np.asarray(X[-1]),
+          " goal =", np.asarray(data.xf))
+    return 0 if int(res.status) == int(Status.SOLVED) else 1
+
+
+def solve_mip(argv: Optional[Sequence[str]] = None) -> int:
+    """Canonical MILP VGP (mip_2d_ex1.xml) solved smoothly with
+    multistart — etol_glpk_example1 analog."""
+    _respect_platform_env()
+    argv = list(sys.argv[1:] if argv is None else argv)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .core import trajectory
+    from .core.types import Status
+    from .models import canonical_mip_2d
+    from .solve import SolverConfig, solve_multistart
+
+    xml = argv[0] if argv else None
+    vgp, nlp = canonical_mip_2d(xml)
+    vgp.print_configs()
+    data, dims = vgp.to_device()
+
+    t0 = time.time()
+    res = solve_multistart(nlp, SolverConfig(), data, 8)
+    res.z.block_until_ready()
+
+    X, U = nlp.unpack(res.z)
+    ts = np.arange(dims.nodes) * vgp.dt
+    print("\n!!!!!!!!!!!!!!!!!Results!!!!!!!!!!!!!!!!!")
+    print(f"Status:\t\t\t{Status(int(res.status)).name}")
+    print(f"Minimization Score:\t{float(res.obj):.6f}")
+    print(f"Constraint viol:\t{float(res.viol_eq):.2e} "
+          f"{float(res.viol_in):.2e}")
+    print(f"Solve time (incl. compile): {time.time()-t0:.1f}s")
+    fx = trajectory.save((jnp.asarray(ts), X), "state_mip_etol_tpu.csv")
+    fu = trajectory.save((jnp.asarray(ts), U), "control_mip_etol_tpu.csv")
+    print(f"State variables saved in {fx}")
+    print(f"Control variables saved in {fu}")
+    return 0 if int(res.status) == int(Status.SOLVED) else 1
+
+
+def solve_3d(argv: Optional[Sequence[str]] = None) -> int:
+    """3D point mass with moving spherical obstacles (BASELINE config 3).
+    Optional argv[0]: output dir for plot/animation artifacts."""
+    _respect_platform_env()
+    argv = list(sys.argv[1:] if argv is None else argv)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .core.types import Status
+    from .models import point_mass_3d
+    from .solve import SolverConfig, solve
+
+    vgp, nlp = point_mass_3d()
+    data, dims = vgp.to_device()
+    t0 = time.time()
+    res = solve(nlp, SolverConfig(), data)
+    res.z.block_until_ready()
+    X, _ = nlp.unpack(res.z)
+    print(f"Status: {Status(int(res.status)).name}  "
+          f"score={float(res.obj):.6f}  "
+          f"viol={float(res.viol_eq):.2e}/{float(res.viol_in):.2e}  "
+          f"t={time.time()-t0:.1f}s")
+    print("xN =", np.asarray(X[-1]), " goal =", np.asarray(data.xf))
+    if argv:
+        from .viz import animate2d, plot_xy_with_zones
+
+        out = argv[0]
+        os.makedirs(out, exist_ok=True)
+        ts = jnp.arange(dims.nodes) * vgp.dt
+        plot_xy_with_zones(
+            (ts, X), vgp.obstacles, vgp.tracks,
+            save=os.path.join(out, "pm3d_xy.png"),
+        )
+        gif = animate2d(
+            (ts, X), vgp.obstacles, vgp.tracks,
+            save=os.path.join(out, "pm3d.gif"), fps=8,
+        )
+        print(f"artifacts: {out}/pm3d_xy.png, {gif}")
+    return 0 if int(res.status) == int(Status.SOLVED) else 1
+
+
+def mpc_demo(argv: Optional[Sequence[str]] = None) -> int:
+    """Receding-horizon MPC loop — the eGurobi changeX0 fast path
+    (eGurobi.cpp:419-453) as zero-retrace warm re-solves."""
+    _respect_platform_env()
+    argv = list(sys.argv[1:] if argv is None else argv)
+    import numpy as np
+
+    from . import TrajectoryOptimizer
+    from .models import dynamics
+
+    steps = int(argv[0]) if argv else 10
+    topt = TrajectoryOptimizer()
+    topt.load_configs(default_config("ocp_2d_ex1.xml"))
+    topt.set_dynamics(dynamics.single_integrator)
+    topt.set_objective(lambda x, u, t, d: u[0] ** 2 + u[1] ** 2)
+    topt.setup()
+
+    t0 = time.time()
+    topt.solve()
+    print(f"cold solve: {time.time()-t0:.2f}s (incl. compile), "
+          f"score={topt.get_score():.4f}")
+
+    lat = []
+    for k in range(steps):
+        _, X = topt.get_xtraj()
+        x_next = np.asarray(X[1])  # pretend the vehicle advanced one step
+        res = topt.mpc_step(x_next)
+        lat.append(topt.last_solve_seconds)
+        print(
+            f"mpc step {k}: x0={np.round(x_next, 3).tolist()} "
+            f"score={float(res.obj):.4f} "
+            f"iters={int(res.outer_iters)}/{int(res.inner_iters)} "
+            f"t={lat[-1]*1e3:.1f}ms"
+        )
+    print(f"p50 warm re-solve latency: {np.median(lat)*1e3:.2f}ms")
+    return 0
+
+
+def fleet_batch(argv: Optional[Sequence[str]] = None) -> int:
+    """Fleet-scale batched solving sharded over all visible devices."""
+    _respect_platform_env()
+    argv = list(sys.argv[1:] if argv is None else argv)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from . import batch_tile
+    from .models import uas_2d
+    from .parallel import make_mesh, solve_sharded
+    from .solve import SolverConfig
+
+    B = int(argv[0]) if argv else 512
+    vgp, nlp = uas_2d(nsteps=50)
+    data, dims = vgp.to_device()
+    bdata = batch_tile(data, B)
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.concatenate(
+        [jax.random.uniform(key, (B, 2), minval=-0.5, maxval=0.5),
+         jnp.zeros((B, 1))], axis=1,
+    ).astype(jnp.float32)
+    bdata = dataclasses.replace(bdata, x0=x0)
+
+    mesh = make_mesh()
+    cfg = SolverConfig(max_outer=8, max_inner=20)
+    t0 = time.time()
+    res = solve_sharded(nlp, cfg, bdata, mesh)
+    jax.block_until_ready(res.z)
+    t_first = time.time() - t0
+    t0 = time.time()
+    res = solve_sharded(nlp, cfg, bdata, mesh)
+    jax.block_until_ready(res.z)
+    t_warm = time.time() - t0
+
+    status = np.asarray(res.status)
+    print(f"devices: {len(jax.devices())}  batch: {B}")
+    print(f"solved: {(status == 1).mean()*100:.1f}%  "
+          f"max viol: {float(np.max(np.asarray(res.viol_eq))):.1e}")
+    print(f"first (compile): {t_first:.1f}s  warm: {t_warm*1e3:.0f}ms  "
+          f"-> {B/t_warm:.0f} solves/s")
+    return 0
+
+
+def bench(argv: Optional[Sequence[str]] = None) -> int:
+    """The benchmark harness (same as `python bench.py` at the repo root)."""
+    from .bench_harness import main as _main
+
+    _main()
+    return 0

@@ -20,9 +20,7 @@ from ..transcribe.nlp import NLP
 from . import dynamics
 
 _CONFIG_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-    "examples",
-    "configs",
+    os.path.dirname(os.path.dirname(__file__)), "configs"
 )
 
 

@@ -31,7 +31,7 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
-CONFIG_DIR = REPO / "examples" / "configs"
+CONFIG_DIR = REPO / "etol_tpu" / "configs"
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,100 @@
+"""Round-2 throughput diagnosis: where do the 32.8s/batch go?
+
+Hypotheses to test on the real chip:
+  H1: the batched while_loop runs to max_total because a few lanes never
+      converge -> iteration distribution from res.inner_iters.
+  H2: per-iteration cost ~10ms, dominated by the 2x pallas KKT solve
+      (3.1ms each) + 24-candidate line search -> slope of time vs budget.
+Run: python tools/diag_r2.py
+"""
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import jax.numpy as jnp
+import numpy as np
+
+from etol_tpu import batch_tile
+from etol_tpu.models import uas_2d
+from etol_tpu.solve import SolverConfig, al_sqp, shooting
+
+B = int(os.environ.get("DIAG_BATCH", "1024"))
+NSTEPS = 50
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def make_batch(data, key):
+    bdata = batch_tile(data, B)
+    kx, kg = jax.random.split(key)
+    x0 = jnp.concatenate(
+        [jax.random.uniform(kx, (B, 2), minval=-0.5, maxval=0.5),
+         jnp.zeros((B, 1))], axis=1).astype(jnp.float32)
+    xf = bdata.xf + jnp.concatenate(
+        [jax.random.uniform(kg, (B, 2), minval=-0.5, maxval=0.5),
+         jnp.zeros((B, 1))], axis=1).astype(jnp.float32)
+    return dataclasses.replace(bdata, x0=x0, xf=xf)
+
+
+def main():
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+    vgp, nlp = uas_2d(nsteps=NSTEPS)
+    data, dims = vgp.to_device()
+    bdata = make_batch(data, jax.random.PRNGKey(0))
+
+    def seed(d):
+        return jax.vmap(lambda dat: shooting.plan_guess(nlp, dat, 512))(d)
+
+    seedj = jax.jit(seed)
+    z0 = seedj(bdata)
+    z0.block_until_ready()
+    t0 = time.time()
+    z0 = seedj(bdata)
+    z0.block_until_ready()
+    log(f"shooting seed time: {(time.time()-t0)*1e3:.1f}ms")
+
+    for mt in (200, 400, 3200):
+        cfg = SolverConfig(max_outer=32, max_inner=100, rho0=316.0,
+                           kkt_solver="pallas", max_total=mt)
+
+        def run(d, z):
+            r = al_sqp.solve_batched.__wrapped__(nlp, cfg, d, z, None)
+            return r.inner_iters, r.status, r.viol_eq, r.viol_in
+
+        runj = jax.jit(run)
+        t0 = time.time()
+        out = runj(bdata, z0)
+        jax.block_until_ready(out)
+        tc = time.time() - t0
+        t0 = time.time()
+        out = runj(bdata, z0)
+        jax.block_until_ready(out)
+        tr = time.time() - t0
+        it = np.asarray(out[0])
+        st = np.asarray(out[1])
+        ve = np.asarray(out[2])
+        vi = np.asarray(out[3])
+        solved = (st == 1).mean()
+        log(f"max_total={mt}: compile+1st {tc:.1f}s run {tr*1e3:.0f}ms "
+            f"solved {solved:.3f} "
+            f"iters p50/p90/p99/max {np.percentile(it,50):.0f}/"
+            f"{np.percentile(it,90):.0f}/{np.percentile(it,99):.0f}/"
+            f"{it.max()} maxviol {max(ve.max(), vi.max()):.2e}")
+
+    # per-iteration slope: t(400) - t(200) over 200 iters gives ms/iter
+    log("done")
+
+
+if __name__ == "__main__":
+    main()
