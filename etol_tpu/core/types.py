@@ -15,7 +15,7 @@ Reference parity map (file:line refer to /root/reference):
 - ``traj_t`` (ETOL_Types.hpp:90-95)          -> plain ``(time, values)``
   arrays, see :mod:`etol_tpu.core.trajectory`
 - ``track_t`` (ETOL_Types.hpp:102-105)       -> padded arrays in
-  :class:`etol_tpu.core.problem.ObstacleField`
+  :class:`etol_tpu.core.problem.TrackData`
 - ``border_t/region_t`` (ETOL_Types.hpp:83,108) -> numpy polygon lists in
   :mod:`etol_tpu.core.geometry`
 """

@@ -9,5 +9,15 @@ resume exactly.
 
 from .checkpoint import load_checkpoint, save_checkpoint
 from .lp_export import write_lp
+from .lp_io import LPModel, LPSolution, read_lp, solve_lp, write_sol
 
-__all__ = ["save_checkpoint", "load_checkpoint", "write_lp"]
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "write_lp",
+    "LPModel",
+    "LPSolution",
+    "read_lp",
+    "solve_lp",
+    "write_sol",
+]

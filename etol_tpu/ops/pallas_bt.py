@@ -5,15 +5,25 @@ solve/btridiag.py) carries each problem's tiny w x w matrices in the
 minor dims — batched small-matrix ops. This kernel instead puts the
 PROBLEM BATCH on the 128-lane axis and the (static, small) block
 structure in registers: every Cholesky/substitution scalar becomes a
-[128]-wide VPU op, the K-recurrence runs once per grid cell for 128
+[BT]-wide VPU op, the K-recurrence runs once per grid cell for BT
 problems, and all factor state stays in VMEM scratch (no HBM traffic
 between factor and substitution).
 
+v2 (round 2):
+* **In-kernel iterative refinement**: the solver needs one refinement
+  pass for f32 accuracy at high AL penalty. v1 refactorized for the
+  second solve (2 full kernel calls + an XLA matvec); now the kernel
+  computes the residual r - Hx with full-slab VPU ops and re-runs only
+  the two substitution sweeps against the stored factor — ~1.2x the
+  cost of a single solve instead of 2x.
+* **No lax.cond in the sweeps**: first/last nodes are peeled, so every
+  fori_loop body is straight-line vector code.
+* **Triangular-packed factor storage** (w(w+1)/2 rows instead of w^2)
+  and a lane tile of 256 when the batch allows — [8, 128]-shaped rows
+  fill the VPU's sublanes instead of 1/8 of them.
+
 Shapes (wrapper transposes): D [K, w*w, B], O [K-1, w*w, B],
 r [K, w, B] -> x [K, w, B], grid over B/BT lane tiles.
-
-VMEM budget per grid cell ~ (3*K*w^2 + 3*K*w) * BT * 4B; the wrapper
-falls back to the XLA scan path when that exceeds the cap or w > 8.
 """
 from __future__ import annotations
 
@@ -28,13 +38,20 @@ LANES = 128
 _VMEM_CAP = 10 * 1024 * 1024  # bytes per grid cell
 
 
-def _bt_kernel(K: int, w: int):
-    w2 = w * w
+def _tri(i: int, j: int) -> int:
+    """Row index of L[i][j] (j <= i) in triangular-packed storage."""
+    return i * (i + 1) // 2 + j
 
-    def kernel(d_ref, o_ref, r_ref, x_ref, lfac_ref, lsub_ref, y_ref):
+
+def _bt_kernel(K: int, w: int, refine: int):
+    w2 = w * w
+    tw = w * (w + 1) // 2
+
+    def kernel(d_ref, o_ref, r_ref, x_ref, lfac_ref, lsub_ref, y_ref,
+               c_ref):
         def chol_rows(slab):
             # slab [w2, BT] rows = matrix entries (i*w+j); returns the
-            # lower factor rows, same layout
+            # lower factor as a python [i][j] list of [BT] rows
             L = [[None] * w for _ in range(w)]
             for i in range(w):
                 for j in range(i + 1):
@@ -66,126 +83,169 @@ def _bt_kernel(K: int, w: int):
                 x[i] = s / L[i][i]
             return x
 
-        def store_L(ref, k, L):
+        def store_L(k, L):
+            rows = []
+            for i in range(w):
+                for j in range(i + 1):
+                    rows.append(L[i][j])
+            lfac_ref[k] = jnp.stack(rows, axis=0)
+
+        def load_L(k):
+            slab = lfac_ref[k]
+            return [
+                [slab[_tri(i, j), :] for j in range(i + 1)]
+                for i in range(w)
+            ]
+
+        def factor_node(k, S, rhs_prev_rows):
+            """chol S, fwd-subst this node's rhs; returns (L, y_rows)."""
+            L = chol_rows(S)
+            store_L(k, L)
+            yk = fwd_subst(L, rhs_prev_rows)
+            y_ref[k] = jnp.stack(yk, axis=0)
+            return L, yk
+
+        def coupled_rhs(ref, k):
+            """rhs_k = ref[k] - Lsub_{k-1} y_{k-1} (reads solved y)."""
+            prev = [y_ref[k - 1, i, :] for i in range(w)]
+            ls = lsub_ref[k - 1]
+            out = []
+            for i in range(w):
+                s = ref[k, i, :]
+                for j in range(w):
+                    s = s - ls[i * w + j, :] * prev[j]
+                out.append(s)
+            return out
+
+        def schur_next(k, L):
+            """W = L^{-1} O_k; store Lsub_k = W^T; return S_{k+1}."""
+            ok = o_ref[k]
+            Wcols = []
+            for c in range(w):
+                col = [ok[i * w + c, :] for i in range(w)]
+                Wcols.append(fwd_subst(L, col))  # W[:, c]
             rows = []
             for i in range(w):
                 for j in range(w):
-                    rows.append(
-                        L[i][j]
-                        if j <= i
-                        else jnp.zeros_like(L[0][0])
-                    )
-            ref[k] = jnp.stack(rows, axis=0)
+                    rows.append(Wcols[i][j])  # Lsub[i][j] = W[j][i]^T dance
+            lsub_ref[k] = jnp.stack(rows, axis=0)
+            dn = d_ref[k + 1]
+            rows_s = []
+            for i in range(w):
+                for j in range(w):
+                    s = dn[i * w + j, :]
+                    for t in range(w):
+                        s = s - Wcols[i][t] * Wcols[j][t]
+                    rows_s.append(s)
+            return jnp.stack(rows_s, axis=0)
 
-        def load_L(ref, k):
-            slab = ref[k]
-            return [
-                [slab[i * w + j, :] for j in range(w)] for i in range(w)
-            ]
+        # ---- factor + forward substitution (rhs = r) -----------------
+        L0, _ = factor_node(0, d_ref[0], [r_ref[0, i, :] for i in range(w)])
+        if K > 1:
+            S1 = schur_next(0, L0)
 
-        # ---- factor + forward substitution in one sweep -------------
-        # S = D_0
-        def body_fwd(k, S):
-            L = chol_rows(S)
-            store_L(lfac_ref, k, L)
+            def body_fwd(k, S):
+                L, _ = factor_node(k, S, coupled_rhs(r_ref, k))
+                return schur_next(k, L)
 
-            # y_k = L^{-1} (r_k - Lsub_{k-1} y_{k-1}) ; Lsub = W^T with
-            # W = L^{-1} O_k computed below, stored for later use
-            rk = [r_ref[k, i, :] for i in range(w)]
+            S_last = jax.lax.fori_loop(1, K - 1, body_fwd, S1)
+            factor_node(K - 1, S_last, coupled_rhs(r_ref, K - 1))
 
-            def rk_adj():
-                prev = [y_ref[k - 1, i, :] for i in range(w)]
-                ls = lsub_ref[k - 1]
-                out = []
-                for i in range(w):
-                    s = rk[i]
-                    for j in range(w):
-                        s = s - ls[i * w + j, :] * prev[j]
-                    out.append(s)
-                return out
+        # ---- backward substitution into x ----------------------------
+        def bwd_sweep(out_ref):
+            """L^T sweep: out_ref[k] = bwd-subst using y_ref and the
+            downstream out_ref[k+1] coupling."""
+            L = load_L(K - 1)
+            xk = bwd_subst(L, [y_ref[K - 1, t, :] for t in range(w)])
+            out_ref[K - 1] = jnp.stack(xk, axis=0)
 
-            rk2 = jax.lax.cond(
-                k > 0,
-                lambda: rk_adj(),
-                lambda: rk,
-            )
-            yk = fwd_subst(L, rk2)
-            y_ref[k] = jnp.stack(yk, axis=0)
-
-            # W = L^{-1} O_k (column-wise fwd subst), Lsub_k = W^T,
-            # S_next = D_{k+1} - W^T W
-            def next_S():
-                ok = o_ref[k]
-                Wcols = []
-                for c in range(w):
-                    col = [ok[i * w + c, :] for i in range(w)]
-                    Wcols.append(fwd_subst(L, col))  # W[:, c]
-                # store Lsub rows: Lsub[i][j] = W[j][i]
-                rows = []
-                for i in range(w):
-                    for j in range(w):
-                        rows.append(Wcols[i][j])
-                lsub_ref[k] = jnp.stack(rows, axis=0)
-                dn = d_ref[k + 1]
-                rows_s = []
-                for i in range(w):
-                    for j in range(w):
-                        s = dn[i * w + j, :]
-                        for t in range(w):
-                            s = s - Wcols[i][t] * Wcols[j][t]
-                        rows_s.append(s)
-                return jnp.stack(rows_s, axis=0)
-
-            S_next = jax.lax.cond(
-                k < K - 1,
-                next_S,
-                lambda: jnp.zeros_like(S),
-            )
-            return S_next
-
-        jax.lax.fori_loop(0, K, body_fwd, d_ref[0], unroll=False)
-
-        # ---- backward substitution ----------------------------------
-        def body_bwd(i, _):
-            k = K - 1 - i
-            L = load_L(lfac_ref, k)
-            yk = [y_ref[k, t, :] for t in range(w)]
-
-            def with_next():
-                nxt = [x_ref[k + 1, t, :] for t in range(w)]
+            def body_bwd(i, _):
+                k = K - 2 - i
+                L = load_L(k)
+                nxt = [out_ref[k + 1, t, :] for t in range(w)]
                 ls = lsub_ref[k]
-                out = []
+                rhs = []
                 for t in range(w):
-                    s = yk[t]
+                    s = y_ref[k, t, :]
                     for j in range(w):
-                        # (Lsub_k)^T: entry [t][j] = Lsub[j][t]... here
-                        # x_k = L^{-T} (y_k - Lsub_k^T x_{k+1}) with
-                        # Lsub[i][j] = W[i][j] = (L^{-1}O)[j][i]; the
-                        # coupling in L^T x = y uses Lsub^T rows
+                        # x_k = L^{-T}(y_k - Lsub_k^T x_{k+1})
                         s = s - ls[j * w + t, :] * nxt[j]
-                    out.append(s)
-                return out
+                    rhs.append(s)
+                xk = bwd_subst(L, rhs)
+                out_ref[k] = jnp.stack(xk, axis=0)
+                return 0
 
-            rhs = jax.lax.cond(k < K - 1, with_next, lambda: yk)
-            xk = bwd_subst(L, rhs)
-            x_ref[k] = jnp.stack(xk, axis=0)
-            return 0
+            if K > 1:
+                jax.lax.fori_loop(0, K - 1, body_bwd, 0)
 
-        jax.lax.fori_loop(0, K, body_bwd, 0, unroll=False)
+        bwd_sweep(x_ref)
+
+        # ---- iterative refinement (reuses the stored factor) ---------
+        for _ in range(refine):
+            # residual res = r - H x with full-slab VPU ops:
+            # res_i = r_i - D x - O x_next - O_prev^T x_prev.
+            # Rows are sliced straight off the VMEM refs ([K, BT] slabs)
+            # — materializing whole [K, w^2, BT] values blows the
+            # scoped-vmem stack at wide lane tiles.
+            X = x_ref[:]                                        # [K, w, BT]
+            zrow = jnp.zeros_like(X[:1])
+            Xn = jnp.concatenate([X[1:], zrow], axis=0)
+            Xp = jnp.concatenate([zrow, X[:-1]], axis=0)
+            rows = []
+            for i in range(w):
+                s = r_ref[:, i, :]
+                for j in range(w):
+                    s = s - d_ref[:, i * w + j, :] * X[:, j, :]
+                    s = s - o_ref[:, i * w + j, :] * Xn[:, j, :]
+                    opj = o_ref[:, j * w + i, :]
+                    op_prev = jnp.concatenate(
+                        [jnp.zeros_like(opj[:1]), opj[:-1]], axis=0
+                    )
+                    s = s - op_prev * Xp[:, j, :]
+                rows.append(s)
+            res = jnp.stack(rows, axis=1)                       # [K, w, BT]
+
+            # two substitution sweeps against the stored factor; the
+            # forward sweep streams through y_ref (overwriting the
+            # first pass's y, which is no longer needed)
+            L = load_L(0)
+            y_ref[0] = jnp.stack(
+                fwd_subst(L, [res[0, i, :] for i in range(w)]), axis=0
+            )
+            # res lives in registers; stage it via c_ref so the coupled
+            # forward sweep can read it by dynamic index
+            c_ref[:] = res
+
+            def body_fwd2(k, _):
+                L = load_L(k)
+                yk = fwd_subst(L, coupled_rhs(c_ref, k))
+                y_ref[k] = jnp.stack(yk, axis=0)
+                return 0
+
+            if K > 1:
+                jax.lax.fori_loop(1, K, body_fwd2, 0)
+            bwd_sweep(c_ref)
+            x_ref[:] = x_ref[:] + c_ref[:]
 
     return kernel
 
 
-def _vmem_bytes(K, w, bt):
-    return (3 * K * w * w + 3 * K * w) * bt * 4
+def _vmem_bytes(K, w, bt, refine=1):
+    tw = w * (w + 1) // 2
+    # in: D w2 + O w2 + r w; out: x w; scratch: lfac tw + lsub w2 + y w
+    # + c w (refinement)
+    rows = 3 * w * w + tw + (4 if refine else 3) * w
+    return rows * K * bt * 4
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def solve_lanes(D, O, r, interpret: bool = False):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def solve_lanes(D, O, r, interpret: bool = False, refine: int = 1,
+                block: int = 0):
     """Batched solve, lane-major kernel. D [B, K, w, w], O [B, K-1, w, w],
-    r [B, K, w] -> x [B, K, w]. B must be a multiple of 128 (pad)."""
+    r [B, K, w] -> x [B, K, w]. B must be a multiple of the lane tile
+    (pad); ``refine`` in-kernel refinement passes reuse the factor."""
     B, K, w, _ = D.shape
-    bt = LANES
+    bt = block or LANES
     assert B % bt == 0, f"batch {B} must be a multiple of {bt}"
     Dt = D.reshape(B, K, w * w).transpose(1, 2, 0)      # [K, w2, B]
     Zo = jnp.zeros((B, 1, w, w), D.dtype)
@@ -193,9 +253,10 @@ def solve_lanes(D, O, r, interpret: bool = False):
     Ot = Opad.reshape(B, K, w * w).transpose(1, 2, 0)
     rt = r.transpose(1, 2, 0)                           # [K, w, B]
 
+    tw = w * (w + 1) // 2
     grid = (B // bt,)
     out = pl.pallas_call(
-        _bt_kernel(K, w),
+        _bt_kernel(K, w, refine),
         out_shape=jax.ShapeDtypeStruct((K, w, B), D.dtype),
         grid=grid,
         in_specs=[
@@ -215,9 +276,10 @@ def solve_lanes(D, O, r, interpret: bool = False):
             (K, w, bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((K, w * w, bt), D.dtype),
-            pltpu.VMEM((K, w * w, bt), D.dtype),
-            pltpu.VMEM((K, w, bt), D.dtype),
+            pltpu.VMEM((K, tw, bt), D.dtype),    # packed Cholesky diag
+            pltpu.VMEM((K, w * w, bt), D.dtype),  # subdiagonal factor
+            pltpu.VMEM((K, w, bt), D.dtype),      # forward-sweep y
+            pltpu.VMEM((K, w, bt), D.dtype),      # refinement correction
         ],
         interpret=interpret,
     )(Dt, Ot, rt)
@@ -228,12 +290,24 @@ def usable(K: int, w: int) -> bool:
     return w <= 8 and _vmem_bytes(K, w, LANES) <= _VMEM_CAP
 
 
+def pick_block(B: int, K: int, w: int) -> int:
+    """Widest lane tile that divides B and fits VMEM. Mosaic's scoped
+    stack accounting runs ~3x the raw ref/scratch footprint (measured:
+    bt=256 at K=51 w=5 wants 19-28MB vs the 5.7MB model), so apply that
+    factor before going wider than one [8,128] register of lanes."""
+    for bt in (512, 256, 128):
+        if B % bt == 0 and 3 * _vmem_bytes(K, w, bt) <= _VMEM_CAP:
+            return bt
+    return LANES
+
+
 # ---------------------------------------------------------------------------
 # vmap-aware single-problem entry point: lets the per-lane solver code
-# (al_sqp newton_step) transparently hit the lane-major kernel when the
-# whole solve is vmapped over a batch. Unbatched calls fall back to the
-# sequential scan. (Measured on v5e, B=1024 K=51 w=5: scan 59ms,
-# cyclic reduction 6.2ms, this kernel 3.1ms per batched solve.)
+# (al_sqp direction) transparently hit the lane-major kernel when the
+# whole solve is vmapped over a batch. Unbatched calls fall back to
+# cyclic reduction. (Measured on v5e, B=1024 K=51 w=5: scan 59ms,
+# cyclic reduction 6.2ms, v1 kernel 3.1ms per batched solve; v2 fuses
+# the refinement pass on top.)
 # ---------------------------------------------------------------------------
 from jax.custom_batching import custom_vmap  # noqa: E402
 
@@ -242,14 +316,16 @@ from ..solve import btridiag as _btridiag  # noqa: E402
 
 @custom_vmap
 def solve_auto(D, O, r):
-    """Solve one block-tridiagonal system; batched via the Pallas
-    lane-major kernel when vmapped (falls back to cyclic reduction when
-    the kernel's VMEM/width guards fail). The unbatched path also uses
-    cyclic reduction — on TPU a single K-sequential scan is pure
-    latency (59ms vs 6ms at K=51 on v5e)."""
+    """Solve one block-tridiagonal system WITH one refinement pass;
+    batched via the Pallas lane-major kernel when vmapped (falls back to
+    cyclic reduction when the kernel's VMEM/width guards fail). The
+    unbatched path also uses cyclic reduction — on TPU a single
+    K-sequential scan is pure latency (59ms vs 6ms at K=51 on v5e)."""
     from . import cyclic_reduction as _cr
 
-    return _cr.solve(D, O, r)
+    x = _cr.solve(D, O, r)
+    resid = r - _btridiag.matvec(D, O, x)
+    return x + _cr.solve(D, O, resid)
 
 
 @solve_auto.def_vmap
@@ -276,9 +352,15 @@ def _solve_auto_vmap(axis_size, in_batched, D, O, r):
             r = jnp.concatenate(
                 [r, jnp.zeros((pad,) + r.shape[1:], r.dtype)], axis=0
             )
-        out = solve_lanes(D, O, r, False)[:B]
+        bt = pick_block(D.shape[0], K, w)
+        out = solve_lanes(D, O, r, False, 1, bt)[:B]
     else:
         from . import cyclic_reduction as _cr
 
-        out = jax.vmap(_cr.solve)(D, O, r)
+        def one(Db, Ob, rb):
+            x = _cr.solve(Db, Ob, rb)
+            resid = rb - _btridiag.matvec(Db, Ob, x)
+            return x + _cr.solve(Db, Ob, resid)
+
+        out = jax.vmap(one)(D, O, r)
     return out, True

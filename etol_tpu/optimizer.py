@@ -65,7 +65,7 @@ class TrajectoryOptimizer:
         self._solve_time = 0.0
 
     # ---- configuration (reference setter parity) ----------------------
-    def load_configs(self, path: str) -> "TrajectooryOptimizer":
+    def load_configs(self, path: str) -> "TrajectoryOptimizer":
         """XML problem load (loadConfigs, TrajectoryOptimizer.cpp:787)."""
         self.vgp = _load(path)
         return self

@@ -14,6 +14,7 @@ from .al_sqp import (
     SolveResult,
     solve,
     solve_batched,
+    solve_batched_rescue,
     solve_multistart,
 )
 from . import al_sqp, btridiag, planners, shooting
@@ -28,6 +29,7 @@ __all__ = [
     "MIPResult",
     "solve",
     "solve_batched",
+    "solve_batched_rescue",
     "solve_multistart",
     "solve_refined",
     "solve_milp",

@@ -178,55 +178,19 @@ class _ALFuncs:
         self.ks_step = jnp.arange(d.nsteps)
         self.ks_node = jnp.arange(self.K)
         self.pinned = (self.ub - self.lb) <= 1e-12
-        # per-VARIABLE scale from the declared bounds (badly scaled
-        # problems — fixed-wing positions ~1e3 vs angles ~1 — need the
-        # Newton system, damping and stationarity test in scaled
-        # coordinates). Deliberately not the per-node boxes: x0 pinning
-        # and the terminal tolerance band would shrink those nodes'
-        # scales to ~xtol and make the damped system stiff there.
-        def var_scale(lo, hi):
-            half = 0.5 * (hi - lo)
-            ok = jnp.isfinite(half) & (half > 1e-9)
-            return jnp.where(ok, jnp.clip(half, 1e-2, 1e4), 1.0)
-
-        s_node = jnp.concatenate(
-            [var_scale(data.x_lb, data.x_ub),
-             var_scale(data.u_lb, data.u_ub)]
+        # scaling + cached track centers are NLP policy (delegated so
+        # condensed/delayed problem views can override them)
+        self.scale = jnp.broadcast_to(
+            nlp.variable_scales(data), (self.K, self.w)
         )
-        self.scale = jnp.broadcast_to(s_node, (self.K, self.w))
-        # defect scaling: a defect row lives in state units, so its f32
-        # noise floor is eps * |state|; dividing by max(1, state scale)
-        # makes tol_cons a relative tolerance on large-range problems
-        self.cscale = jnp.maximum(var_scale(data.x_lb, data.x_ub), 1.0)
-        # moving-obstacle centers are a function of node TIME only: build
-        # the [K, T, D] table once so the hot path (every AL value,
-        # gradient, Hessian and line-search candidate) is gather-free
-        from ..transcribe import obstacles as _obs
-
-        ts = jnp.arange(self.K, dtype=self.dtype) * data.dt
-        self.track_ctrs = _obs.track_centers(ts, data.tracks)
+        self.cscale = nlp.defect_scales(data)
+        self.track_ctrs = nlp.track_center_table(data)
         self.al_grad = jax.grad(self.al_value)
 
     def node_ineq_c(self, zn, k, tc_k):
         """nlp.node_ineq with the precomputed track-center row tc_k
         [T, D] — identical values and stacking order."""
-        nlp, data = self.nlp, self.data
-        d = nlp.dims
-        x, u = zn[: d.nx], zn[d.nx :]
-        t = k.astype(zn.dtype) * data.dt
-        from ..transcribe import obstacles as _obs
-
-        parts = []
-        if nlp.use_obstacles:
-            gv = _obs.collision_values_cached(
-                x, tc_k, data.obstacles, data.tracks, nlp.obstacle_form
-            )
-            parts.append(gv + nlp.obstacle_margin)
-        for g in nlp.path_ineq:
-            parts.append(jnp.atleast_1d(g(x, u, t, data)).reshape(-1))
-        if not parts:
-            return jnp.zeros((0,), zn.dtype)
-        return jnp.concatenate(parts)
+        return self.nlp.node_ineq_cached(zn, k, tc_k, self.data)
 
     def residuals(self, Z):
         nlp, data = self.nlp, self.data
@@ -381,12 +345,11 @@ class _ALFuncs:
         s = self.scale
         rhs = jnp.where(free, -(s * grad), 0.0)
         if cfg.kkt_solver == "pallas":
-            # lane-major Pallas kernel under vmap; scan when unbatched
+            # lane-major Pallas kernel under vmap (one in-kernel
+            # refinement pass reusing the factor — no second factorize)
             from ..ops import pallas_bt as _pbt
 
             pt = _pbt.solve_auto(D, O, rhs)
-            resid = rhs - btridiag.matvec(D, O, pt)
-            pt = pt + _pbt.solve_auto(D, O, resid)
         elif cfg.kkt_solver == "cr":
             from ..ops import cyclic_reduction as _cr
 
@@ -788,6 +751,77 @@ def solve_multistart(
     ) + jnp.where(feas, 0.0, 1e9)
     best = jnp.argmin(score)
     return jax.tree.map(lambda a: a[best], res)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6, 8))
+def solve_batched_rescue(
+    nlp: NLP,
+    cfg: SolverConfig,
+    data: VGPData,
+    key: Optional[jax.Array] = None,
+    rescue_lanes: int = 0,
+    n_rescue_starts: int = 4,
+    rescue_cfg: Optional[SolverConfig] = None,
+    z0: Optional[jax.Array] = None,
+    shooting_samples: int = 256,
+    lam0=None,
+    rho0: Optional[jax.Array] = None,
+) -> SolveResult:
+    """Two-phase batched solve: main phase + compacted rescue.
+
+    A vmapped ``while_loop`` runs until its WORST lane finishes, so a
+    tail of hard lanes sets the whole fleet's wall clock (measured on
+    the N=50 UAS bench: warm re-solves converge at p50 = 10 iterations
+    but p99 lanes burn the full budget — warm throughput equaled cold).
+    Here phase 1 runs the whole batch under ``cfg`` (use a tight
+    ``cfg.max_total``); the ``rescue_lanes`` worst lanes are then
+    gathered into a small batch (static shape — pure gather, no host
+    sync) and re-solved cold with ``n_rescue_starts``-way multistart +
+    shooting seeds under ``rescue_cfg``, and the improved results are
+    scattered back. Lanes beyond ``rescue_lanes`` that also failed keep
+    their phase-1 status (honest MAX_ITER).
+
+    This is the batched analog of the reference's fallback discipline —
+    a failed solve is reported per problem, never fatal (eGLPK.cpp:68) —
+    plus the multistart global search the smooth formulation needs on
+    nonconvex fields (SURVEY.md §7 hard parts).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    res1 = solve_batched.__wrapped__(nlp, cfg, data, z0, lam0, rho0)
+    B = res1.status.shape[0]
+    M = rescue_lanes or max(1, B // 8)
+    M = min(M, B)
+    if rescue_cfg is None:
+        rescue_cfg = cfg
+
+    ok = res1.status == jnp.int32(Status.SOLVED)
+    # unconverged lanes first (argsort ascending: False < True)
+    order = jnp.argsort(ok)
+    idx = order[:M]
+    sub = jax.tree.map(lambda a: a[idx], data)
+    keys = jax.random.split(key, M)
+    res2 = jax.vmap(
+        lambda d, k: solve_multistart.__wrapped__(
+            nlp, rescue_cfg, d, n_rescue_starts, k, 0.4, shooting_samples
+        )
+    )(sub, keys)
+
+    # adopt the rescue result when it is strictly better: solved where
+    # phase 1 was not, or (both unsolved) lower violation
+    v1 = jnp.maximum(res1.viol_eq[idx], res1.viol_in[idx])
+    v2 = jnp.maximum(res2.viol_eq, res2.viol_in)
+    ok1 = ok[idx]
+    ok2 = res2.status == jnp.int32(Status.SOLVED)
+    better = (ok2 & ~ok1) | (~ok2 & ~ok1 & (v2 < v1))
+
+    def merge(a, b):
+        bsel = jnp.where(
+            better.reshape((M,) + (1,) * (b.ndim - 1)), b, a[idx]
+        )
+        return a.at[idx].set(bsel)
+
+    return jax.tree.map(merge, res1, res2)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))

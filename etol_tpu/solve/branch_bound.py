@@ -105,6 +105,7 @@ def solve_milp(
     max_nodes: int = 256,
     int_tol: float = 1e-3,
     gap_tol: float = 1e-4,
+    convex_relaxation: Optional[bool] = None,
     verbose: bool = False,
 ) -> MIPResult:
     """Best-first branch-and-bound. ``int_cols`` is the [nx+nu] bool
@@ -116,6 +117,19 @@ def solve_milp(
     ``>= ceil`` of the most fractional relaxed value (classic spatial
     branching); an additional *dive* lane rounds-and-fixes the entire
     integer set of the best open node to reach incumbents early.
+
+    ``convex_relaxation`` gates bound-based pruning: a node's relaxation
+    value is a valid lower bound ONLY when the relaxation is solved to
+    global optimality, which the smooth AL-SQP guarantees only for
+    convex relaxations. When False (or None and the problem carries any
+    nonconvex structure — obstacle exclusion zones or user path
+    inequalities), nodes are NEVER discarded by bound comparison; the
+    relaxation value still drives best-first ordering, and the search
+    terminates by exhausting the (finite) branching tree or the node
+    budget. The reported ``gap`` is meaningful only in the convex case.
+    Cf. the reference's exact-by-construction branch-and-cut
+    (glp_intopt, eGLPK.cpp:66) — exactness there also rests on LP
+    relaxations being globally solved.
     """
     d = nlp.dims
     K, w = d.nodes, d.nx + d.nu
@@ -124,6 +138,14 @@ def solve_milp(
     cols = np.where(int_cols)[0]
     if cols.size == 0:
         raise ValueError("no INTEGER/BINARY columns; use al_sqp.solve")
+
+    if convex_relaxation is None:
+        # conservative default: only box-bounded problems with no
+        # obstacle disjunctions and no user inequality callbacks can be
+        # presumed convex (dynamics nonconvexity is the user's call —
+        # pass convex_relaxation=True explicitly for e.g. linear
+        # dynamics with convex cost, the reference MILP class)
+        convex_relaxation = not nlp.use_obstacles and not nlp.path_ineq
 
     sign = -1.0 if nlp.maximize else 1.0
     BIG = np.asarray(np.finfo(dtype).max / 4, dtype)
@@ -164,8 +186,8 @@ def solve_milp(
         batch = []
         while heap and len(batch) < wave:
             bound, _, lo, hi = heapq.heappop(heap)
-            if bound >= incumbent_obj - gap_tol:
-                continue  # pruned by bound
+            if convex_relaxation and bound >= incumbent_obj - gap_tol:
+                continue  # pruned by a valid relaxation bound
             batch.append((bound, lo, hi))
         if not batch:
             break
@@ -213,8 +235,10 @@ def solve_milp(
                 continue  # relaxation infeasible → prune subtree
             relax_obj = sign * float(objs[i])
             # valid lower bound only if the relaxation is globally
-            # solved (convex case); still used for best-first ordering
-            if relax_obj >= incumbent_obj - gap_tol:
+            # solved (convex case); still used for best-first ordering.
+            # Nonconvex: a worse-than-incumbent LOCAL optimum proves
+            # nothing about the subtree — keep branching.
+            if convex_relaxation and relax_obj >= incumbent_obj - gap_tol:
                 continue
             Z = zs[i].reshape(K, w)
             fr = frac_parts(Z)
@@ -264,8 +288,16 @@ def solve_milp(
             waves=waves,
             incumbent_found=False,
         )
-    gap = abs(incumbent_obj - best_bound) / max(1.0, abs(incumbent_obj))
-    closed = (not heap) or gap <= gap_tol
+    if convex_relaxation:
+        gap = abs(incumbent_obj - best_bound) / max(
+            1.0, abs(incumbent_obj)
+        )
+        closed = (not heap) or gap <= gap_tol
+    else:
+        # local relaxation values bound nothing: report the gap as
+        # unknown; "closed" = the branching tree was exhausted
+        gap = 0.0 if not heap else float("nan")
+        closed = not heap
     return MIPResult(
         z=incumbent_z,
         obj=sign * incumbent_obj,

@@ -34,6 +34,33 @@ def node_times(nsteps: int, dt, dtype=None):
     return k * dt
 
 
+def step_defect(
+    f: DynamicsFn,
+    x0, u0, x1, u1,   # node k and node k+1 states/controls
+    t0, dt,
+    data,
+    scheme: str = "trapezoidal",
+) -> jnp.ndarray:
+    """Collocation defect of ONE step (nodes k -> k+1), shape [nx].
+
+    The single copy of the scheme math: :func:`defects` maps it over a
+    trajectory and :meth:`etol_tpu.transcribe.nlp.NLP.step_defect` calls
+    it per node pair (the solver's block-structured interface)."""
+    t1 = t0 + dt
+    if scheme == "euler":
+        return x1 - x0 - dt * f(x1, u1, t1, data)
+    f0 = f(x0, u0, t0, data)
+    f1 = f(x1, u1, t1, data)
+    if scheme == "trapezoidal":
+        return x1 - x0 - (dt / 2.0) * (f0 + f1)
+    if scheme == "hermite_simpson":
+        xm = 0.5 * (x0 + x1) + (dt / 8.0) * (f0 - f1)
+        um = 0.5 * (u0 + u1)
+        fm = f(xm, um, 0.5 * (t0 + t1), data)
+        return x1 - x0 - (dt / 6.0) * (f0 + 4.0 * fm + f1)
+    raise ValueError(f"unknown scheme {scheme!r}; pick from {SCHEMES}")
+
+
 def defects(
     f: DynamicsFn,
     X: jnp.ndarray,   # [K, nx] with K = nsteps+1
@@ -46,18 +73,11 @@ def defects(
     feasible."""
     K = X.shape[0]
     ts = node_times(K - 1, dt, X.dtype)
-    fv = jax.vmap(lambda x, u, t: f(x, u, t, data))(X, U, ts)  # [K, nx]
-    if scheme == "euler":
-        return X[1:] - X[:-1] - dt * fv[1:]
-    if scheme == "trapezoidal":
-        return X[1:] - X[:-1] - (dt / 2.0) * (fv[:-1] + fv[1:])
-    if scheme == "hermite_simpson":
-        xm = 0.5 * (X[:-1] + X[1:]) + (dt / 8.0) * (fv[:-1] - fv[1:])
-        um = 0.5 * (U[:-1] + U[1:])
-        tm = 0.5 * (ts[:-1] + ts[1:])
-        fm = jax.vmap(lambda x, u, t: f(x, u, t, data))(xm, um, tm)
-        return X[1:] - X[:-1] - (dt / 6.0) * (fv[:-1] + 4.0 * fm + fv[1:])
-    raise ValueError(f"unknown scheme {scheme!r}; pick from {SCHEMES}")
+    return jax.vmap(
+        lambda x0, u0, x1, u1, t0: step_defect(
+            f, x0, u0, x1, u1, t0, dt, data, scheme
+        )
+    )(X[:-1], U[:-1], X[1:], U[1:], ts[:-1])
 
 
 def integral_cost(

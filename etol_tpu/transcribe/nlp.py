@@ -95,26 +95,17 @@ class NLP:
         return -J if self.maximize else J
 
     def step_defect(self, z_k, z_k1, k, data: VGPData) -> jnp.ndarray:
-        """Collocation defect of step k (nodes k -> k+1), shape [nx]."""
+        """Collocation defect of step k (nodes k -> k+1), shape [nx].
+
+        Delegates to :func:`etol_tpu.transcribe.collocation.step_defect`
+        — the single copy of the scheme math."""
         d = self.dims
         x0, u0 = z_k[: d.nx], z_k[d.nx :]
         x1, u1 = z_k1[: d.nx], z_k1[d.nx :]
-        dt = data.dt
-        t0 = k.astype(z_k.dtype) * dt
-        t1 = t0 + dt
-        f = self.dynamics
-        if self.scheme == "euler":
-            return x1 - x0 - dt * f(x1, u1, t1, data)
-        f0 = f(x0, u0, t0, data)
-        f1 = f(x1, u1, t1, data)
-        if self.scheme == "trapezoidal":
-            return x1 - x0 - (dt / 2.0) * (f0 + f1)
-        if self.scheme == "hermite_simpson":
-            xm = 0.5 * (x0 + x1) + (dt / 8.0) * (f0 - f1)
-            um = 0.5 * (u0 + u1)
-            fm = f(xm, um, 0.5 * (t0 + t1), data)
-            return x1 - x0 - (dt / 6.0) * (f0 + 4.0 * fm + f1)
-        raise ValueError(f"unknown scheme {self.scheme!r}")
+        t0 = k.astype(z_k.dtype) * data.dt
+        return collocation.step_defect(
+            self.dynamics, x0, u0, x1, u1, t0, data.dt, data, self.scheme
+        )
 
     def node_eq(self, z_node, k, data: VGPData) -> jnp.ndarray:
         """User path equalities at node k, stacked flat (possibly 0-size)."""
@@ -148,6 +139,59 @@ class NLP:
         if not parts:
             return jnp.zeros((0,), z_node.dtype)
         return jnp.concatenate(parts)
+
+    def node_ineq_cached(self, z_node, k, tc_k, data: VGPData):
+        """:meth:`node_ineq` with a precomputed track-center row ``tc_k``
+        [T, D] (one row of :meth:`track_center_table`) — identical values
+        and stacking order, gather-free: the solver's hot path evaluates
+        this per AL value, gradient, Hessian and line-search candidate."""
+        d = self.dims
+        x, u = z_node[: d.nx], z_node[d.nx :]
+        t = k.astype(z_node.dtype) * data.dt
+        parts = []
+        if self.use_obstacles:
+            gv = obstacles.collision_values_cached(
+                x, tc_k, data.obstacles, data.tracks, self.obstacle_form
+            )
+            parts.append(gv + self.obstacle_margin)
+        for g in self.path_ineq:
+            parts.append(jnp.atleast_1d(g(x, u, t, data)).reshape(-1))
+        if not parts:
+            return jnp.zeros((0,), z_node.dtype)
+        return jnp.concatenate(parts)
+
+    def track_center_table(self, data: VGPData) -> jnp.ndarray:
+        """Moving-obstacle centers at every node time, [K, T, D]: a
+        function of node TIME only, so the solver builds it once per
+        problem and the hot path stays gather-free."""
+        ts = jnp.arange(self.dims.nodes, dtype=data.x0.dtype) * data.dt
+        return obstacles.track_centers(ts, data.tracks)
+
+    # ---- scaling hooks (solver-facing) ---------------------------------
+    @staticmethod
+    def _var_scale(lo, hi):
+        half = 0.5 * (hi - lo)
+        ok = jnp.isfinite(half) & (half > 1e-9)
+        return jnp.where(ok, jnp.clip(half, 1e-2, 1e4), 1.0)
+
+    def variable_scales(self, data: VGPData) -> jnp.ndarray:
+        """Per-variable scale of one node's [x, u] slot, [nx+nu], from
+        the declared bounds. Badly scaled problems (fixed-wing positions
+        ~1e3 vs angles ~1) need the Newton system, damping and the
+        stationarity test in scaled coordinates. Deliberately not the
+        per-node boxes: x0 pinning and the terminal tolerance band would
+        shrink those nodes' scales to ~xtol and stiffen the damping."""
+        return jnp.concatenate(
+            [self._var_scale(data.x_lb, data.x_ub),
+             self._var_scale(data.u_lb, data.u_ub)]
+        )
+
+    def defect_scales(self, data: VGPData) -> jnp.ndarray:
+        """Per-row scale of one step defect, [nx]: a defect row lives in
+        state units, so its f32 noise floor is eps * |state|; dividing
+        by max(1, state scale) makes the violation tolerance relative on
+        large-range problems."""
+        return jnp.maximum(self._var_scale(data.x_lb, data.x_ub), 1.0)
 
     # ---- aggregate views ----------------------------------------------
     def objective(self, z: jnp.ndarray, data: VGPData) -> jnp.ndarray:

@@ -134,6 +134,68 @@ def test_bb_binary_control():
                                  abs=5e-2)
 
 
+def _banded_reach():
+    """Nonconvex variant: reach x=2 in 2 integer steps while the state
+    may never sit in the band |x-1| < 0.2 (a 1D 'obstacle'). Integer
+    optimum: burn 2 then 0 (or 0 then 2), cost 4. The continuous
+    relaxation (cost ~2.1) is nonconvex -> its local values are NOT
+    bounds."""
+    vgp = VGP(nsteps=2, dt=1.0)
+    vgp.x0 = [0.0]
+    vgp.xf = [2.0]
+    vgp.xtol = [0.1]
+    vgp.xlower = [-5.0]
+    vgp.xupper = [5.0]
+    vgp.ulower = [0.0]
+    vgp.uupper = [2.0]
+    vgp.uvartype = [VarType.INTEGER]
+    band = lambda x, u, t, d: 0.04 - (x[0] - 1.0) ** 2  # <= 0 feasible
+    nlp = NLP(
+        dims=vgp.dims(),
+        dynamics=lambda x, u, t, d: u,
+        running_cost=lambda x, u, t, d: u[0] ** 2,
+        path_ineq=(band,),
+        scheme="euler",
+        cost_form="sum",
+        use_obstacles=False,
+    )
+    return vgp, nlp
+
+
+def test_bb_nonconvex_gates_bound_pruning():
+    """VERDICT weak #8: with nonconvex constraints, a relaxation value
+    is a local optimum, not a bound — bound pruning must be off by
+    default (auto-detected from path_ineq/obstacles), and the search
+    still finds the true integer optimum."""
+    vgp, nlp = _banded_reach()
+    data, _ = vgp.to_device()
+    cfg = SolverConfig(max_outer=16, max_inner=40)
+    res = solve_milp(
+        nlp, cfg, data, integer_mask(vgp), wave=8, max_nodes=64
+    )
+    assert res.incumbent_found
+    # true optimum: {0,2} or {2,0} -> cost 4 (brute force over u grid)
+    best = np.inf
+    for u1 in range(3):
+        for u2 in range(3):
+            x1, x2 = u1, u1 + u2
+            if abs(x2 - 2.0) <= 0.1 and abs(x1 - 1.0) >= 0.2:
+                best = min(best, u1**2 + u2**2)
+    assert res.obj == pytest.approx(best, abs=5e-2)
+    # nonconvex mode reports no (false) bound-gap certificate unless the
+    # tree was exhausted
+    assert np.isnan(res.gap) or res.gap == 0.0
+
+    # forcing the convex assumption prunes at least as hard (and on a
+    # problem like this may discard the optimum - which is the bug the
+    # gate exists to prevent)
+    res_forced = solve_milp(
+        nlp, cfg, data, integer_mask(vgp), wave=8, max_nodes=64,
+        convex_relaxation=True,
+    )
+    assert res_forced.nodes_solved <= res.nodes_solved
+
+
 def test_bb_no_integer_columns_raises():
     vgp, nlp = _integer_reach_1d()
     vgp.uvartype = [VarType.CONTINUOUS]

@@ -78,28 +78,25 @@ def test_scheme_consistency(ocp_xml):
 
 
 def test_mpc_x0_swap_no_retrace(ocp_xml):
-    """changeX0 parity: swapping x0 arrays must hit the jit cache.
+    """changeX0 parity (eGurobi.cpp:419-432): swapping x0 arrays must hit
+    the jit cache — an MPC re-solve may not retrace.
 
-    Counted via jax's internal cache-miss counter on the solve wrapper.
-    """
-    import jax
-
+    Counted via the jitted wrapper's compilation-cache size; the test
+    FAILS (not skips) if that introspection ever disappears, so the
+    fast-path guarantee cannot silently become untested."""
     vgp, nlp = canonical_ocp_2d(ocp_xml)
     data, _ = vgp.to_device()
     cfg = SolverConfig(max_outer=2, max_inner=4)
     r1 = solve(nlp, cfg, data)
-    with jax.log_compiles(False):
-        pass
-    # same shapes, new values -> no retrace: measure via timing-free
-    # proxy: a second call with replaced x0 returns promptly and with
-    # the same trace (lowered once). jax exposes _cache_size on jitted
-    # callables in recent versions; guard if absent.
+    size = getattr(solve, "_cache_size", None)
+    assert callable(size), (
+        "jax no longer exposes _cache_size on jitted callables; "
+        "re-implement this check (e.g. via jax.monitoring compile events)"
+    )
+    n0 = size()
     d2 = dataclasses.replace(data, x0=data.x0 + jnp.float32(0.01))
     r2 = solve(nlp, cfg, d2)
     assert r2.z.shape == r1.z.shape
-    size = getattr(solve, "_cache_size", None)
-    if callable(size):
-        n0 = size()
-        d3 = dataclasses.replace(data, x0=data.x0 + jnp.float32(0.02))
-        solve(nlp, cfg, d3)
-        assert size() == n0
+    d3 = dataclasses.replace(data, x0=data.x0 + jnp.float32(0.02))
+    solve(nlp, cfg, d3)
+    assert size() == n0, "x0 swap retraced the MPC fast path"
