@@ -108,6 +108,18 @@ class VGPData:
     dt: jax.Array        # [] step size
     obstacles: ObstacleData
     tracks: TrackData
+    # auxiliary ("param") decision columns, [n_params] each; p_window
+    # rows are (t_start, t_stop) activation windows (param_configs_t,
+    # ETOL_Types.hpp:40-46). Zero-size when the problem declares none.
+    p_lb: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0,), jnp.float32)
+    )
+    p_ub: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0,), jnp.float32)
+    )
+    p_window: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0, 2), jnp.float32)
+    )
 
     @property
     def dtype(self):
@@ -277,6 +289,7 @@ class VGP:
             max_waypoints=(
                 pad_waypoints if pad_waypoints is not None else max(n_w, 2)
             ),
+            n_params=len(self.params),
         )
 
     def to_device(
@@ -343,6 +356,20 @@ class VGP:
             tmask[i] = 1.0
             tdim[i, :nd] = 1.0
 
+        # param columns in sorted-name order (the reference keys solver
+        # variables by name, eGLPK.cpp:103-124; sorted order makes the
+        # column index deterministic)
+        np_ = dims.n_params
+        pnames = sorted(self.params)[:np_]
+        plb = np.zeros((np_,))
+        pub = np.zeros((np_,))
+        pwin = np.zeros((np_, 2))
+        for j, name in enumerate(pnames):
+            pc = self.params[name]
+            plb[j] = pc.lower
+            pub[j] = pc.upper
+            pwin[j] = (pc.t_start, pc.t_stop)
+
         f = lambda a: jnp.asarray(np.asarray(a), dtype=dtype)
         data = VGPData(
             x0=f(self.x0),
@@ -364,6 +391,9 @@ class VGP:
                 times=f(tt), xy=f(txy), radius=f(tr), mask=f(tmask),
                 dim_mask=f(tdim),
             ),
+            p_lb=f(plb),
+            p_ub=f(pub),
+            p_window=f(pwin),
         )
         return data, dims
 

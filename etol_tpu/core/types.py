@@ -88,6 +88,13 @@ class Dims:
     max_pieces: int = 0      # padded convex-piece count
     max_tracks: int = 0      # padded moving-obstacle count
     max_waypoints: int = 2   # padded waypoints per track
+    n_params: int = 0        # auxiliary per-node decision variables
+                             # (param_configs_t, ETOL_Types.hpp:40-46):
+                             # masked dense columns appended to each
+                             # node's [x, u] slot, active only inside
+                             # their [t_start, t_stop] window (the
+                             # reference creates one named solver var per
+                             # in-window timestep, eGLPK.cpp:275-332)
     n_extra_ineq: int = 0    # user path inequality constraints per node
     n_extra_eq: int = 0      # user path equality constraints per node
 
@@ -96,9 +103,15 @@ class Dims:
         return self.nsteps + 1
 
     @property
+    def node_width(self) -> int:
+        """Decision-variable count per node: [x, u, params]."""
+        return self.nx + self.nu + self.n_params
+
+    @property
     def nz(self) -> int:
-        """Flat decision-vector length: states and controls at every node."""
-        return self.nodes * (self.nx + self.nu)
+        """Flat decision-vector length: states, controls and param
+        columns at every node."""
+        return self.nodes * self.node_width
 
 
 class Status(enum.IntEnum):

@@ -165,6 +165,13 @@ class TrajectoryOptimizer:
             cost_form=self._cost_form,
             use_obstacles=bool(self.vgp.obstacles or self.vgp.tracks),
             maximize=self._maximize,
+            # XML <states rhorizon>/<controls rhorizon> as true history
+            # windows (ePSOPT get_delayed_state/control parity,
+            # ePSOPT.cpp:231-248): when > 0, the dynamics callback
+            # receives [delay+1]-deep history slices instead of single
+            # nodes — see transcribe.nlp.NLP.pair_defect
+            x_delay=max(self.vgp.x_rhorizon, 0),
+            u_delay=max(self.vgp.u_rhorizon, 0),
         )
 
     def solve(self, warm: bool = False) -> SolveResult:

@@ -48,7 +48,7 @@ def sharded_defects(
     holds the defect of step k (rows for the global last node are zero).
     """
     d = nlp.dims
-    K, w = d.nodes, d.nx + d.nu
+    K, w = d.nodes, d.node_width
     n = mesh.shape[axis]
     assert K % n == 0, f"nodes ({K}) must divide the {axis} axis ({n})"
     kb = K // n

@@ -143,7 +143,7 @@ class SolveResult:
 def _result_sizes(nlp: NLP, data: VGPData):
     """Static multiplier shapes via abstract evaluation."""
     d = nlp.dims
-    zn = jax.ShapeDtypeStruct((d.nx + d.nu,), data.x0.dtype)
+    zn = jax.ShapeDtypeStruct((d.node_width,), data.x0.dtype)
     k = jax.ShapeDtypeStruct((), jnp.int32)
     m_eq = jax.eval_shape(nlp.node_eq, zn, k, data).shape[0]
     m_in = jax.eval_shape(nlp.node_ineq, zn, k, data).shape[0]
@@ -164,7 +164,7 @@ class _ALFuncs:
                  box=None):
         self.nlp, self.cfg, self.data = nlp, cfg, data
         d = nlp.dims
-        self.K, self.w = d.nodes, d.nx + d.nu
+        self.K, self.w = d.nodes, d.node_width
         self.dtype = data.x0.dtype
         lb, ub = nlp.bounds(data)
         self.lb = lb.reshape(self.K, self.w)
@@ -194,9 +194,14 @@ class _ALFuncs:
 
     def residuals(self, Z):
         nlp, data = self.nlp, self.data
-        c_def = jax.vmap(
-            lambda a, b, k: nlp.step_defect(a, b, k, data)
-        )(Z[:-1], Z[1:], self.ks_step) / self.cscale
+        if nlp.delay:
+            c_def = jax.vmap(
+                lambda W, k: nlp.pair_defect(W, k, data)
+            )(nlp.step_windows(Z), self.ks_step) / self.cscale
+        else:
+            c_def = jax.vmap(
+                lambda a, b, k: nlp.step_defect(a, b, k, data)
+            )(Z[:-1], Z[1:], self.ks_step) / self.cscale
         c_eq = jax.vmap(lambda zn, k: nlp.node_eq(zn, k, data))(
             Z, self.ks_node
         )
@@ -272,37 +277,85 @@ class _ALFuncs:
             Z, self.ks_node, mu, lam_eq, self.track_ctrs
         )
 
-        # step coupling: defect Jacobians A_k = dc/dz_k, B_k = dc/dz_{k+1}
-        def step_jacs(a, b, k):
-            cs = self.cscale[:, None]
-            A = jax.jacfwd(lambda v: nlp.step_defect(v, b, k, data))(a) / cs
-            B = jax.jacfwd(lambda v: nlp.step_defect(a, v, k, data))(b) / cs
-            return A, B
+        # step coupling: defect Jacobians A_k = dc/dz_k, B_k = dc/dz_{k+1}.
+        # Delayed problems (nlp.delay > 0) differentiate only the two
+        # newest window nodes — older-node coupling stays out of the
+        # Hessian (kept block-tridiagonal; gradients remain exact via
+        # al_grad, so this is an inexact-Newton preconditioner, not an
+        # approximation of the problem)
+        if nlp.delay:
+            Wn = nlp.step_windows(Z)
 
-        A, B = jax.vmap(step_jacs)(Z[:-1], Z[1:], self.ks_step)
+            def step_jacs(Wk, k):
+                cs = self.cscale[:, None]
+                A = jax.jacfwd(
+                    lambda v: nlp.pair_defect(Wk.at[-2].set(v), k, data)
+                )(Wk[-2]) / cs
+                B = jax.jacfwd(
+                    lambda v: nlp.pair_defect(Wk.at[-1].set(v), k, data)
+                )(Wk[-1]) / cs
+                return A, B
+
+            A, B = jax.vmap(step_jacs)(Wn, self.ks_step)
+        else:
+            def step_jacs(a, b, k):
+                cs = self.cscale[:, None]
+                A = jax.jacfwd(
+                    lambda v: nlp.step_defect(v, b, k, data)
+                )(a) / cs
+                B = jax.jacfwd(
+                    lambda v: nlp.step_defect(a, v, k, data)
+                )(b) / cs
+                return A, B
+
+            A, B = jax.vmap(step_jacs)(Z[:-1], Z[1:], self.ks_step)
         D = D.at[:-1].add(rho * _einsum("kij,kil->kjl", A, A))
         D = D.at[1:].add(rho * _einsum("kij,kil->kjl", B, B))
         O = rho * _einsum("kij,kil->kjl", A, B)
 
         if cfg.hessian in ("defect", "full"):
             # exact defect curvature: hessian over the node pair of
-            # (λ+ρc)·c, split into its four w×w quadrants
-            def pair_curv(a, b, k, lam_k):
-                cs = self.cscale
-                sdef = jax.lax.stop_gradient(
-                    lam_k + rho * nlp.step_defect(a, b, k, data) / cs
-                )
-                zpair = jnp.concatenate([a, b])
-                Hp = jax.hessian(
-                    lambda v: jnp.sum(
-                        sdef * nlp.step_defect(v[:w], v[w:], k, data) / cs
+            # (λ+ρc)·c, split into its four w×w quadrants (delayed
+            # problems: curvature of the two newest window nodes only,
+            # matching the Jacobian truncation above)
+            if nlp.delay:
+                def pair_curv(Wk, k, lam_k):
+                    cs = self.cscale
+                    sdef = jax.lax.stop_gradient(
+                        lam_k + rho * nlp.pair_defect(Wk, k, data) / cs
                     )
-                )(zpair)
-                return Hp[:w, :w], Hp[w:, w:], Hp[:w, w:]
+                    zpair = jnp.concatenate([Wk[-2], Wk[-1]])
+                    Hp = jax.hessian(
+                        lambda v: jnp.sum(
+                            sdef * nlp.pair_defect(
+                                Wk.at[-2].set(v[:w]).at[-1].set(v[w:]),
+                                k, data,
+                            ) / cs
+                        )
+                    )(zpair)
+                    return Hp[:w, :w], Hp[w:, w:], Hp[:w, w:]
 
-            Haa, Hbb, Hab = jax.vmap(pair_curv)(
-                Z[:-1], Z[1:], self.ks_step, lam_def
-            )
+                Haa, Hbb, Hab = jax.vmap(pair_curv)(
+                    Wn, self.ks_step, lam_def
+                )
+            else:
+                def pair_curv(a, b, k, lam_k):
+                    cs = self.cscale
+                    sdef = jax.lax.stop_gradient(
+                        lam_k + rho * nlp.step_defect(a, b, k, data) / cs
+                    )
+                    zpair = jnp.concatenate([a, b])
+                    Hp = jax.hessian(
+                        lambda v: jnp.sum(
+                            sdef
+                            * nlp.step_defect(v[:w], v[w:], k, data) / cs
+                        )
+                    )(zpair)
+                    return Hp[:w, :w], Hp[w:, w:], Hp[:w, w:]
+
+                Haa, Hbb, Hab = jax.vmap(pair_curv)(
+                    Z[:-1], Z[1:], self.ks_step, lam_def
+                )
             D = D.at[:-1].add(Haa)
             D = D.at[1:].add(Hbb)
             O = O + Hab
@@ -715,7 +768,7 @@ def solve_multistart(
     if key is None:
         key = jax.random.PRNGKey(0)
     d = nlp.dims
-    K, w = d.nodes, d.nx + d.nu
+    K, w = d.nodes, d.node_width
     base = nlp.initial_guess(data).reshape(K, w)
     lam0 = init_multipliers(nlp, data)
 

@@ -42,11 +42,13 @@ from .al_sqp import SolverConfig, _solve_single, init_multipliers
 
 
 def integer_mask(vgp: VGP) -> np.ndarray:
-    """[nx+nu] bool: which node-variable columns are INTEGER/BINARY.
+    """[node_width] bool: which node-variable columns are INTEGER/BINARY.
 
     The reference applies a variable's vartype at every timestep
     (eGLPK createVars, eGLPK.cpp:103-124); same here: a masked column
-    is integral at every node.
+    is integral at every node. Param columns (in sorted-name order,
+    matching VGP.to_device) carry their own vartype — the reference's
+    per-window binaries (eGLPK.cpp:275-332) land here.
     """
     vts = list(vgp.xvartype) + [VarType.CONTINUOUS] * (
         vgp.nx - len(vgp.xvartype)
@@ -54,8 +56,9 @@ def integer_mask(vgp: VGP) -> np.ndarray:
     vtu = list(vgp.uvartype) + [VarType.CONTINUOUS] * (
         vgp.nu - len(vgp.uvartype)
     )
+    vtp = [vgp.params[name].var_type for name in sorted(vgp.params)]
     return np.array(
-        [vt != VarType.CONTINUOUS for vt in vts + vtu], dtype=bool
+        [vt != VarType.CONTINUOUS for vt in vts + vtu + vtp], dtype=bool
     )
 
 
@@ -132,7 +135,7 @@ def solve_milp(
     relaxations being globally solved.
     """
     d = nlp.dims
-    K, w = d.nodes, d.nx + d.nu
+    K, w = d.nodes, d.node_width
     dtype = np.float32 if data.x0.dtype == jnp.float32 else np.float64
     int_cols = np.asarray(int_cols, dtype=bool)
     cols = np.where(int_cols)[0]

@@ -42,11 +42,18 @@ class NLP:
     """
 
     dims: Dims
-    dynamics: Callable                    # f(x, u, t, data) -> xdot [nx]
-    running_cost: Callable                # ell(x, u, t, data) -> scalar
+    dynamics: Callable                    # f(x, u, t, data) -> xdot [nx];
+                                          # with x_delay/u_delay > 0:
+                                          # f(Xw, Uw, t, data) where
+                                          # Xw [x_delay+1, nx] and
+                                          # Uw [u_delay+1, nu] end at the
+                                          # current node (row -1 = now)
+    running_cost: Callable                # ell(x, u, t, data) -> scalar;
+                                          # with n_params > 0 an extra
+                                          # trailing arg p [n_params]
     terminal_cost: Optional[Callable] = None   # phi(xN, data) -> scalar
-    path_ineq: Tuple[Callable, ...] = ()  # g(x, u, t, data) -> [*] <= 0
-    path_eq: Tuple[Callable, ...] = ()    # h(x, u, t, data) -> [*] == 0
+    path_ineq: Tuple[Callable, ...] = ()  # g(x, u, t, data[, p]) -> <= 0
+    path_eq: Tuple[Callable, ...] = ()    # h(x, u, t, data[, p]) -> == 0
     scheme: str = "trapezoidal"
     cost_form: str = "integral"           # "integral" | "sum"
     use_obstacles: bool = True
@@ -54,19 +61,54 @@ class NLP:
     obstacle_margin: float = 0.0          # inflate: require g <= -margin
     maximize: bool = False
     guess: Optional[Callable] = None      # guess(data) -> z (model-aware)
+    x_delay: int = 0                      # state history steps visible to
+                                          # the dynamics (get_delayed_state
+                                          # parity, ePSOPT.cpp:231-239)
+    u_delay: int = 0                      # control history steps
+                                          # (get_delayed_control parity,
+                                          # ePSOPT.cpp:240-248)
 
     # ---- layout -------------------------------------------------------
     @property
     def nz(self) -> int:
         return self.dims.nz
 
+    @property
+    def delay(self) -> int:
+        """History window depth: 0 = memoryless (standard) dynamics."""
+        return max(self.x_delay, self.u_delay)
+
     def unpack(self, z: jnp.ndarray):
         d = self.dims
-        ZU = z.reshape(d.nodes, d.nx + d.nu)
-        return ZU[:, : d.nx], ZU[:, d.nx :]
+        ZU = z.reshape(d.nodes, d.node_width)
+        return ZU[:, : d.nx], ZU[:, d.nx : d.nx + d.nu]
 
-    def pack(self, X: jnp.ndarray, U: jnp.ndarray) -> jnp.ndarray:
-        return jnp.concatenate([X, U], axis=-1).reshape(-1)
+    def pack(self, X: jnp.ndarray, U: jnp.ndarray, P=None) -> jnp.ndarray:
+        parts = [X, U]
+        if self.dims.n_params:
+            if P is None:
+                P = jnp.zeros(
+                    (X.shape[0], self.dims.n_params), X.dtype
+                )
+            parts.append(P)
+        return jnp.concatenate(parts, axis=-1).reshape(-1)
+
+    def _split(self, z_node):
+        """One node's slot -> (x, u, p)."""
+        d = self.dims
+        return (
+            z_node[: d.nx],
+            z_node[d.nx : d.nx + d.nu],
+            z_node[d.nx + d.nu :],
+        )
+
+    def _user(self, f, x, u, t, data: VGPData, p):
+        """Invoke a user callback: params (when declared) ride as a
+        trailing argument, so memoryless problems keep the plain
+        ``f(x, u, t, data)`` signature."""
+        if self.dims.n_params:
+            return f(x, u, t, data, p)
+        return f(x, u, t, data)
 
     # ---- node-separable pieces (the structured-solver interface) ------
     #
@@ -79,9 +121,9 @@ class NLP:
     def node_cost(self, z_node, k, data: VGPData) -> jnp.ndarray:
         """Cost contribution of node k; sums to :meth:`objective`."""
         d = self.dims
-        x, u = z_node[: d.nx], z_node[d.nx :]
+        x, u, p = self._split(z_node)
         t = k.astype(z_node.dtype) * data.dt
-        lv = self.running_cost(x, u, t, data)
+        lv = self._user(self.running_cost, x, u, t, data, p)
         if self.cost_form == "sum":
             J = lv
         else:  # trapezoid weights on the node grid
@@ -98,22 +140,89 @@ class NLP:
         """Collocation defect of step k (nodes k -> k+1), shape [nx].
 
         Delegates to :func:`etol_tpu.transcribe.collocation.step_defect`
-        — the single copy of the scheme math."""
+        — the single copy of the scheme math. Only valid for memoryless
+        dynamics; delayed problems go through :meth:`pair_defect`."""
         d = self.dims
-        x0, u0 = z_k[: d.nx], z_k[d.nx :]
-        x1, u1 = z_k1[: d.nx], z_k1[d.nx :]
+        x0, u0, _ = self._split(z_k)
+        x1, u1, _ = self._split(z_k1)
         t0 = k.astype(z_k.dtype) * data.dt
         return collocation.step_defect(
             self.dynamics, x0, u0, x1, u1, t0, data.dt, data, self.scheme
         )
 
+    # ---- delayed dynamics (rhorizon as a true history window) ----------
+    #
+    # The reference's NLP callbacks can consume x(t - j dt)/u(t - j dt)
+    # windows (get_delayed_state/get_delayed_control, ePSOPT.cpp:231-248;
+    # the eSCIP rhorizon-deep variable window, eSCIP.cpp:355-375). Here a
+    # delayed problem declares x_delay/u_delay and its dynamics sees
+    # fixed-shape history slices — pre-horizon history clamps to node 0
+    # (which the bounds pin to x0, matching the reference's rhorizon
+    # pinning). The defect of step k then involves nodes k-delay..k+1;
+    # the solver keeps its Hessian block-tridiagonal by differentiating
+    # only the two newest nodes (exact gradients, structured curvature).
+
+    def step_windows(self, Z: jnp.ndarray) -> jnp.ndarray:
+        """[nsteps, delay+2, w] sliding windows over the node axis: row j
+        of window k is node k - delay + j (clamped at node 0)."""
+        r = self.delay
+        Zp = jnp.concatenate(
+            [jnp.broadcast_to(Z[:1], (r,) + Z.shape[1:]), Z], axis=0
+        )
+        idx = (
+            jnp.arange(self.dims.nsteps)[:, None]
+            + jnp.arange(r + 2)[None, :]
+        )
+        return Zp[idx]
+
+    def _hist(self, W, row):
+        """Dynamics arguments at window row ``row`` (node-local [x, u]
+        or history slices when delayed)."""
+        d = self.dims
+        X = W[:, : d.nx]
+        U = W[:, d.nx : d.nx + d.nu]
+        if self.delay == 0:
+            return X[row], U[row]
+        # row is a static python int (delay or delay+1): plain slices
+        xw = X[row - self.x_delay : row + 1]
+        uw = U[row - self.u_delay : row + 1]
+        return xw, uw
+
+    def pair_defect(self, W, k, data: VGPData) -> jnp.ndarray:
+        """Collocation defect of step k from its window W
+        [delay+2, node_width] (rows = nodes k-delay .. k+1), shape [nx].
+
+        Equals :meth:`step_defect` when ``delay == 0``. Delayed schemes:
+        ``euler`` and ``trapezoidal`` (Hermite-Simpson midpoints are
+        ill-defined under a discrete-node delay)."""
+        r = self.delay
+        if r == 0:
+            return self.step_defect(W[0], W[1], k, data)
+        d = self.dims
+        dtype = W.dtype
+        t0 = k.astype(dtype) * data.dt
+        t1 = t0 + data.dt
+        x0 = W[r, : d.nx]
+        x1 = W[r + 1, : d.nx]
+        xw1, uw1 = self._hist(W, r + 1)
+        f1 = self.dynamics(xw1, uw1, t1, data)
+        if self.scheme == "euler":
+            return x1 - x0 - data.dt * f1
+        if self.scheme == "trapezoidal":
+            xw0, uw0 = self._hist(W, r)
+            f0 = self.dynamics(xw0, uw0, t0, data)
+            return x1 - x0 - (data.dt / 2.0) * (f0 + f1)
+        raise ValueError(
+            f"scheme {self.scheme!r} does not support delayed dynamics; "
+            "use 'euler' or 'trapezoidal'"
+        )
+
     def node_eq(self, z_node, k, data: VGPData) -> jnp.ndarray:
         """User path equalities at node k, stacked flat (possibly 0-size)."""
-        d = self.dims
-        x, u = z_node[: d.nx], z_node[d.nx :]
+        x, u, p = self._split(z_node)
         t = k.astype(z_node.dtype) * data.dt
         parts = [
-            jnp.atleast_1d(h(x, u, t, data)).reshape(-1)
+            jnp.atleast_1d(self._user(h, x, u, t, data, p)).reshape(-1)
             for h in self.path_eq
         ]
         if not parts:
@@ -123,8 +232,7 @@ class NLP:
     def node_ineq(self, z_node, k, data: VGPData) -> jnp.ndarray:
         """All inequality values at node k (obstacles + user), <= 0
         feasible, stacked flat (possibly 0-size)."""
-        d = self.dims
-        x, u = z_node[: d.nx], z_node[d.nx :]
+        x, u, p = self._split(z_node)
         t = k.astype(z_node.dtype) * data.dt
         parts = []
         if self.use_obstacles:
@@ -135,7 +243,9 @@ class NLP:
             )
             parts.append(gv + self.obstacle_margin)
         for g in self.path_ineq:
-            parts.append(jnp.atleast_1d(g(x, u, t, data)).reshape(-1))
+            parts.append(
+                jnp.atleast_1d(self._user(g, x, u, t, data, p)).reshape(-1)
+            )
         if not parts:
             return jnp.zeros((0,), z_node.dtype)
         return jnp.concatenate(parts)
@@ -145,8 +255,7 @@ class NLP:
         [T, D] (one row of :meth:`track_center_table`) — identical values
         and stacking order, gather-free: the solver's hot path evaluates
         this per AL value, gradient, Hessian and line-search candidate."""
-        d = self.dims
-        x, u = z_node[: d.nx], z_node[d.nx :]
+        x, u, p = self._split(z_node)
         t = k.astype(z_node.dtype) * data.dt
         parts = []
         if self.use_obstacles:
@@ -155,7 +264,9 @@ class NLP:
             )
             parts.append(gv + self.obstacle_margin)
         for g in self.path_ineq:
-            parts.append(jnp.atleast_1d(g(x, u, t, data)).reshape(-1))
+            parts.append(
+                jnp.atleast_1d(self._user(g, x, u, t, data, p)).reshape(-1)
+            )
         if not parts:
             return jnp.zeros((0,), z_node.dtype)
         return jnp.concatenate(parts)
@@ -181,10 +292,13 @@ class NLP:
         stationarity test in scaled coordinates. Deliberately not the
         per-node boxes: x0 pinning and the terminal tolerance band would
         shrink those nodes' scales to ~xtol and stiffen the damping."""
-        return jnp.concatenate(
-            [self._var_scale(data.x_lb, data.x_ub),
-             self._var_scale(data.u_lb, data.u_ub)]
-        )
+        parts = [
+            self._var_scale(data.x_lb, data.x_ub),
+            self._var_scale(data.u_lb, data.u_ub),
+        ]
+        if self.dims.n_params:
+            parts.append(self._var_scale(data.p_lb, data.p_ub))
+        return jnp.concatenate(parts)
 
     def defect_scales(self, data: VGPData) -> jnp.ndarray:
         """Per-row scale of one step defect, [nx]: a defect row lives in
@@ -205,6 +319,10 @@ class NLP:
         """All collocation defects, [nsteps, nx]."""
         Z = z.reshape(self.dims.nodes, -1)
         ks = jnp.arange(self.dims.nsteps)
+        if self.delay:
+            return jax.vmap(
+                lambda W, k: self.pair_defect(W, k, data)
+            )(self.step_windows(Z), ks)
         return jax.vmap(
             lambda zk, zk1, k: self.step_defect(zk, zk1, k, data)
         )(Z[:-1], Z[1:], ks)
@@ -249,8 +367,21 @@ class NLP:
         )
         u_lb = jnp.broadcast_to(data.u_lb, (K, d.nu))
         u_ub = jnp.broadcast_to(data.u_ub, (K, d.nu))
-        lb = jnp.concatenate([x_lb, u_lb], axis=-1).reshape(-1)
-        ub = jnp.concatenate([x_ub, u_ub], axis=-1).reshape(-1)
+        lbs = [x_lb, u_lb]
+        ubs = [x_ub, u_ub]
+        if d.n_params:
+            # masked dense columns: a param variable exists only inside
+            # its [t_start, t_stop] activation window (the reference
+            # creates one solver variable per in-window timestep,
+            # eGLPK.cpp:275-332); outside, the column pins to 0
+            ts = jnp.arange(K, dtype=data.p_lb.dtype)[:, None] * data.dt
+            active = (ts >= data.p_window[None, :, 0] - 1e-9) & (
+                ts <= data.p_window[None, :, 1] + 1e-9
+            )
+            lbs.append(jnp.where(active, data.p_lb[None, :], 0.0))
+            ubs.append(jnp.where(active, data.p_ub[None, :], 0.0))
+        lb = jnp.concatenate(lbs, axis=-1).reshape(-1)
+        ub = jnp.concatenate(ubs, axis=-1).reshape(-1)
         return lb, ub
 
     # ---- initial guess ------------------------------------------------
@@ -265,7 +396,7 @@ class NLP:
         w = jnp.linspace(0.0, 1.0, K, dtype=data.x0.dtype)[:, None]
         X = (1.0 - w) * data.x0 + w * data.xf
         U = jnp.zeros((K, d.nu), data.x0.dtype)
-        return self.pack(X, U)
+        return self.pack(X, U)  # pack zero-fills param columns
 
     def score(self, z: jnp.ndarray, data: VGPData) -> jnp.ndarray:
         """User-facing objective value (undo the maximize sign flip)."""

@@ -1,7 +1,11 @@
 """Per-iteration cost bisection: time the real vmapped solve at a fixed
 iteration budget under ablations of the body's expensive pieces.
-Run: python -u tools/periter_r2.py <variant>
-Variants: base, ls1, ls8, gn, cr, scan, noobs
+Run: python -u tools/periter_r2.py <variant> [<variant> ...]
+Variants: base, trap, ls1, ls8, gn, cr, scan, noobs
+
+Timing discipline: a scalar host pull (float()) is the completion
+barrier — block_until_ready is NOT reliable on tunneled backends
+(the axon remote TPU acks enqueue, not completion).
 """
 import dataclasses
 import os
@@ -26,11 +30,30 @@ from etol_tpu.solve import SolverConfig, al_sqp
 B = int(os.environ.get("PI_BATCH", "1024"))
 MT = int(os.environ.get("PI_MT", "100"))
 
+VARIANTS = dict(
+    base={},
+    trap={},
+    obsell={},
+    obspc={},
+    ls1=dict(ls_grid=1),
+    ls8=dict(ls_grid=8),
+    gn=dict(hessian="gn"),
+    cr=dict(kkt_solver="cr"),
+    scan=dict(kkt_solver="scan"),
+    noobs={},
+)
 
-def main(variant):
+
+def run_variant(variant):
     vgp, nlp = uas_2d(nsteps=50)
     if variant == "noobs":
         nlp = dataclasses.replace(nlp, use_obstacles=False)
+    if variant == "trap":
+        nlp = dataclasses.replace(nlp, scheme="trapezoidal")
+    if variant == "obsell":
+        nlp = dataclasses.replace(nlp, obstacle_form="ellipses")
+    if variant == "obspc":
+        nlp = dataclasses.replace(nlp, obstacle_form="pieces")
     data, dims = vgp.to_device()
     bdata = batch_tile(data, B)
     kx = jax.random.PRNGKey(0)
@@ -39,36 +62,33 @@ def main(variant):
          jnp.zeros((B, 1))], axis=1).astype(jnp.float32)
     bdata = dataclasses.replace(bdata, x0=x0)
 
-    over = dict(
-        base={},
-        ls1=dict(ls_grid=1),
-        ls8=dict(ls_grid=8),
-        gn=dict(hessian="gn"),
-        cr=dict(kkt_solver="cr"),
-        scan=dict(kkt_solver="scan"),
-        noobs={},
-    )[variant]
-    cfg = SolverConfig(max_outer=32, max_inner=100, rho0=316.0,
-                       kkt_solver="pallas", max_total=MT, **over)
+    over = VARIANTS[variant]
+    kw = dict(max_outer=32, max_inner=100, rho0=316.0,
+              kkt_solver="pallas", max_total=MT)
+    kw.update(over)
+    cfg = SolverConfig(**kw)
 
     def run(d):
         r = al_sqp.solve_batched.__wrapped__(nlp, cfg, d, None, None)
-        return r.inner_iters, r.status
+        # fold to a scalar so the host pull is O(1) bytes and a true
+        # completion barrier
+        return jnp.sum(r.z) + jnp.sum(r.inner_iters.astype(jnp.float32))
 
     runj = jax.jit(run)
     t0 = time.time()
-    out = runj(bdata)
-    jax.block_until_ready(out)
+    float(runj(bdata))
     tc = time.time() - t0
+    reps = 3
     t0 = time.time()
-    out = runj(bdata)
-    jax.block_until_ready(out)
-    tr = time.time() - t0
-    it = int(np.asarray(out[0]).max())
+    acc = jnp.float32(0.0)
+    for _ in range(reps):
+        acc = acc + runj(bdata)
+    float(acc)
+    tr = (time.time() - t0) / reps
     print(f"{variant:6s} B={B} MT={MT}: compile+1st {tc:.1f}s "
-          f"run {tr*1e3:.0f}ms -> {tr/max(it,1)*1e3:.2f} ms/iter "
-          f"(maxit {it})", flush=True)
+          f"run {tr*1e3:.0f}ms -> {tr/MT*1e3:.2f} ms/iter", flush=True)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "base")
+    for v in sys.argv[1:] or ["base"]:
+        run_variant(v)
