@@ -9,9 +9,11 @@ is computed after a one-node **halo exchange** (`lax.ppermute` — one hop
 over ICI), and scalar reductions (AL value, violation norms) finish with
 `psum`.
 
-This is the building block for horizon-sharded solves of very long
-horizons (N in the thousands); the batched solver uses it through
-`shard_map` when a "horizon" mesh axis is present.
+These evaluators are standalone building blocks (used by the driver's
+multichip dry-run); the full horizon-sharded solve lives in
+:mod:`etol_tpu.parallel.solve_sharded`, which pairs node-parallel
+evaluation with the distributed SPIKE KKT factorization of
+:mod:`etol_tpu.parallel.kkt`.
 """
 from __future__ import annotations
 

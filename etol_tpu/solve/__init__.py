@@ -15,6 +15,7 @@ from .al_sqp import (
     solve,
     solve_batched,
     solve_batched_rescue,
+    solve_batched_staged,
     solve_multistart,
 )
 from . import al_sqp, btridiag, planners, shooting
@@ -30,6 +31,7 @@ __all__ = [
     "solve",
     "solve_batched",
     "solve_batched_rescue",
+    "solve_batched_staged",
     "solve_multistart",
     "solve_refined",
     "solve_milp",

@@ -109,12 +109,33 @@ class SolverConfig:
                                 # genuinely need tiny steps, and treating
                                 # them as failures stalls the lane and
                                 # death-spirals the penalty schedule
+    ls_window: int = 0          # 0 = evaluate the whole ls_grid every
+                                # iteration. > 0: evaluate only this many
+                                # consecutive exponents per iteration,
+                                # starting from a per-lane cursor that
+                                # tracks the last accepted step size
+                                # (moves down when the search fails, back
+                                # up when the largest candidate wins).
+                                # The full 0.5^0..0.5^23 range stays
+                                # reachable across iterations — unlike a
+                                # THINNED grid, which measurably loses
+                                # converged lanes — at a fraction of the
+                                # residual-pass cost
     max_total: int = 0          # global Newton-iteration budget across all
                                 # outer rounds; 0 = max_outer * max_inner.
                                 # The real wall-clock knob for batched
                                 # solves: the slowest lane defines the
                                 # runtime of the whole vmapped while_loop
     inner_tol0: float = 1e-2    # LANCELOT-style: inner tol tightens with rho
+    stall_tol: float = 1e-7     # relative AL-decrease floor: two straight
+                                # iterations below it end the inner round.
+                                # Measured pathology on the N=50 UAS
+                                # bench: after ~10 productive Newton steps
+                                # a round enters a zigzag limit cycle
+                                # improving ~1e-5/iter and burns the rest
+                                # of max_inner; raising this to ~1e-5
+                                # (with a fast rho ramp) exits the cycle
+                                # and fires the multiplier update instead
     kkt_solver: str = "scan"    # "scan" (sequential block Cholesky) or
                                 # "cr" (cyclic reduction: log-depth
                                 # parallel levels; better TPU latency at
@@ -161,7 +182,10 @@ class _ALFuncs:
     single Newton steps eagerly with full visibility."""
 
     def __init__(self, nlp: NLP, cfg: SolverConfig, data: VGPData,
-                 box=None):
+                 box=None, kkt_solve=None):
+        # optional KKT override: f(D, O, rhs) -> direction, e.g. the
+        # horizon-sharded SPIKE solve (parallel/kkt.py) under a mesh
+        self.kkt_solve = kkt_solve
         self.nlp, self.cfg, self.data = nlp, cfg, data
         d = nlp.dims
         self.K, self.w = d.nodes, d.node_width
@@ -232,37 +256,75 @@ class _ALFuncs:
             self.cost(Z), c_def, c_eq, g, lam_def, lam_eq, mu, rho
         )
 
-    def gn_blocks(self, Z, lam_def, lam_eq, mu, rho, free, lm):
+    def gn_blocks(self, Z, lam_def, lam_eq, mu, rho, free, lm, g=None):
         """AL Hessian blocks: Gauss-Newton + (optionally) the exact
         constraint-curvature terms Σ s·∇²g, Σ (λ+ρc)·∇²c — without them
         the inner Newton is only linearly convergent on curved
         constraints (the ellipse obstacles are concave, so pure GN
         systematically overshoots). ``lm`` is adaptive Levenberg damping
         that restores positive definiteness when the exact terms make a
-        block indefinite (detected downstream as a NaN factor)."""
+        block indefinite (detected downstream as a NaN factor).
+
+        ``g`` optionally carries the already-computed inequality
+        residuals at ``Z`` ([K, m_in], the solver loop has them) so the
+        active-set test costs nothing. Obstacle rows read only the
+        state's position dims, so their GN product lands in a
+        [pd, pd] corner block instead of a dense [w, w] one — the
+        jacfwd needs pd tangents, not w."""
         nlp, data, cfg = self.nlp, self.data, self.cfg
         w, dtype = self.w, self.dtype
+        d = nlp.dims
+        pd = nlp.pos_dims(data)
+        if g is None:
+            g = jax.vmap(self.node_ineq_c)(
+                Z, self.ks_node, self.track_ctrs
+            )
+        m_obs = jax.eval_shape(
+            nlp.node_ineq_obs,
+            jax.ShapeDtypeStruct((d.nx,), dtype),
+            jax.ShapeDtypeStruct((), jnp.int32),
+            jax.ShapeDtypeStruct(self.track_ctrs.shape[1:], dtype),
+            data,
+        ).shape[0]
 
-        def node_blocks(zn, k, mu_k, lam_eq_k, tc_k):
+        def node_blocks(zn, k, mu_k, lam_eq_k, tc_k, g_k):
             Hl = jax.hessian(lambda v: nlp.node_cost(v, k, data))(zn)
             De = jnp.zeros((w, w), dtype)
             Ge = jax.jacfwd(lambda v: nlp.node_eq(v, k, data))(zn)
             if Ge.shape[0]:  # static: skip when the problem has none
                 De = De + _mm(Ge.T, Ge)
-            Gi = jax.jacfwd(lambda v: self.node_ineq_c(v, k, tc_k))(zn)
-            if Gi.shape[0]:
-                g_k = self.node_ineq_c(zn, k, tc_k)
-                act = (mu_k + rho * g_k > 0).astype(dtype)
-                De = De + _mm((Gi * act[:, None]).T, Gi)
+            act = (mu_k + rho * g_k > 0).astype(dtype)
+            if m_obs:
+                x = zn[: d.nx]
+                Go = jax.jacfwd(
+                    lambda v: nlp.node_ineq_obs(
+                        x.at[:pd].set(v), k, tc_k, data
+                    )
+                )(x[:pd])  # [m_obs, pd]
+                Goa = Go * act[:m_obs, None]
+                De = De.at[:pd, :pd].add(_mm(Goa.T, Go))
+            Gu = jax.jacfwd(lambda v: nlp.node_ineq_user(v, k, data))(zn)
+            if Gu.shape[0]:
+                De = De + _mm((Gu * act[m_obs:, None]).T, Gu)
             H = Hl + rho * De
             if cfg.hessian == "full":
-                if Gi.shape[0]:
-                    s = jax.lax.stop_gradient(
-                        jnp.maximum(0.0, mu_k + rho * self.node_ineq_c(
-                            zn, k, tc_k))
-                    )
+                s = jax.lax.stop_gradient(
+                    jnp.maximum(0.0, mu_k + rho * g_k)
+                )
+                if m_obs:
+                    Hoo = jax.hessian(
+                        lambda v: jnp.sum(
+                            s[:m_obs] * nlp.node_ineq_obs(
+                                x.at[:pd].set(v), k, tc_k, data
+                            )
+                        )
+                    )(x[:pd])
+                    H = H.at[:pd, :pd].add(Hoo)
+                if Gu.shape[0]:
                     H = H + jax.hessian(
-                        lambda v: jnp.sum(s * self.node_ineq_c(v, k, tc_k))
+                        lambda v: jnp.sum(
+                            s[m_obs:] * nlp.node_ineq_user(v, k, data)
+                        )
                     )(zn)
                 if Ge.shape[0]:
                     se = jax.lax.stop_gradient(
@@ -274,7 +336,7 @@ class _ALFuncs:
             return H
 
         D = jax.vmap(node_blocks)(
-            Z, self.ks_node, mu, lam_eq, self.track_ctrs
+            Z, self.ks_node, mu, lam_eq, self.track_ctrs, g
         )
 
         # step coupling: defect Jacobians A_k = dc/dz_k, B_k = dc/dz_{k+1}.
@@ -383,21 +445,28 @@ class _ALFuncs:
         pg = (Z - jnp.clip(Z - s * grad, self.lb, self.ub)) / s
         return jnp.max(jnp.abs(pg))
 
-    def direction(self, Z, grad, lam_def, lam_eq, mu, rho, lm):
+    def direction(self, Z, grad, lam_def, lam_eq, mu, rho, lm, g=None):
         """Damped projected-Newton direction from a precomputed AL
-        gradient; returns (p, bad)."""
+        gradient; returns (p, bad). ``g`` optionally carries the
+        inequality residuals at Z (reused by the active-set test)."""
         cfg = self.cfg
         at_lb = Z <= self.lb + 1e-9
         at_ub = Z >= self.ub - 1e-9
         free = ~(
             self.pinned | (at_lb & (grad > 0.0)) | (at_ub & (grad < 0.0))
         )
-        D, O = self.gn_blocks(Z, lam_def, lam_eq, mu, rho, free, lm)
+        D, O = self.gn_blocks(Z, lam_def, lam_eq, mu, rho, free, lm, g)
         # the blocks are in scaled coordinates (H~ = S H S): solve
         # H~ p~ = -S g, then p = S p~
         s = self.scale
         rhs = jnp.where(free, -(s * grad), 0.0)
-        if cfg.kkt_solver == "pallas":
+        if self.kkt_solve is not None:
+            # externally supplied solver (horizon-sharded SPIKE): one
+            # refinement pass for f32 parity with the local paths
+            pt = self.kkt_solve(D, O, rhs)
+            resid = rhs - btridiag.matvec(D, O, pt)
+            pt = pt + self.kkt_solve(D, O, resid)
+        elif cfg.kkt_solver == "pallas":
             # lane-major Pallas kernel under vmap (one in-kernel
             # refinement pass reusing the factor — no second factorize)
             from ..ops import pallas_bt as _pbt
@@ -481,7 +550,7 @@ class _ALFuncs:
 
 def _solve_single(
     nlp: NLP, cfg: SolverConfig, data: VGPData, z0, lam0, rho_init=None,
-    box=None,
+    box=None, kkt_solve=None,
 ):
     """Flattened AL-SQP: ONE ``lax.while_loop`` over Newton iterations.
 
@@ -508,13 +577,13 @@ def _solve_single(
     dtype = data.x0.dtype
     lam_def0, lam_eq0, mu0 = lam0
 
-    F = _ALFuncs(nlp, cfg, data, box)
+    F = _ALFuncs(nlp, cfg, data, box, kkt_solve)
     lb, ub = F.lb, F.ub
     Z0 = jnp.clip(z0.reshape(F.K, F.w), lb, ub)
 
     max_total = cfg.max_total or cfg.max_outer * cfg.max_inner
     nls = max(min(cfg.ls_grid, len(_LS_EXPONENTS)), 1)
-    alphas = 0.5 ** jnp.asarray(_LS_EXPONENTS[:nls], dtype)
+    nls_w = min(cfg.ls_window, nls) if cfg.ls_window else nls
 
     cd0, ce0, g0 = F.residuals(Z0)
     cost0 = F.cost(Z0)
@@ -527,7 +596,7 @@ def _solve_single(
 
     def body(st):
         (Z, cd, ce, g, cost, lam_def, lam_eq, mu, rho, omega, lm,
-         viol_prev, noprog, in_it, o_it, tot, done, _pgn) = st
+         viol_prev, noprog, in_it, o_it, tot, done, _pgn, ls_lo) = st
 
         # ---- gradient/value at the CURRENT consistent (Z, multiplier)
         # pair; residuals are carried, so the value assembly is free
@@ -558,9 +627,22 @@ def _solve_single(
         # (lanes at an inner-round boundary spend this iteration on the
         # multiplier update below: their step would mix a stale gradient
         # with fresh multipliers)
-        p, bad_dir = F.direction(Z, grad, lam_def, lam_eq, mu, rho, lm)
+        p, bad_dir = F.direction(
+            Z, grad, lam_def, lam_eq, mu, rho, lm, g
+        )
 
-        # parallel Armijo line search over the alpha grid
+        # parallel Armijo line search over the alpha grid (or the moving
+        # ls_window slice of it, anchored at this lane's cursor)
+        if cfg.ls_window:
+            exps = (
+                jnp.clip(
+                    ls_lo + jnp.arange(nls_w, dtype=jnp.int32),
+                    0, nls - 1,
+                )
+            ).astype(dtype)
+        else:
+            exps = jnp.asarray(_LS_EXPONENTS[:nls], dtype)
+        alphas = 0.5 ** exps
         Zc = jnp.clip(Z[None] + alphas[:, None, None] * p[None], lb, ub)
         cdc, cec, gc = jax.vmap(F.residuals)(Zc)
         costc = jax.vmap(F.cost)(Zc)
@@ -578,8 +660,9 @@ def _solve_single(
         sel = jnp.argmax(okc)  # first passing alpha (argmax -> first True)
         ls_ok = jnp.any(okc)
         # equivalent sequential-backtrack count (for the lm adaptation
-        # thresholds, which were tuned against the halving search)
-        exps = jnp.asarray(_LS_EXPONENTS[:nls], dtype)
+        # thresholds, which were tuned against the halving search) —
+        # absolute exponent, so a windowed accept at a small alpha still
+        # reads as "deep backtrack" to the damping logic
         nsteps_ls = exps[sel] + 1.0
 
         move = (~inner_done) & (~done) & ls_ok
@@ -603,10 +686,20 @@ def _solve_single(
             ),
         )
         lm = jnp.where(stepping, lm_step, lm)
+        if cfg.ls_window:
+            # cursor: follow the accepted exponent (one above it stays
+            # in view); on failure shift the window toward smaller steps
+            hi = max(nls - nls_w, 0)
+            ls_next = jnp.where(
+                ls_ok,
+                jnp.clip(ls_lo + sel - 1, 0, hi),
+                jnp.minimum(ls_lo + nls_w - 1, hi),
+            )
+            ls_lo = jnp.where(stepping, ls_next, ls_lo)
         # progress tracking: two consecutive iterations that cannot
         # improve the AL beyond f32 resolution = this subproblem is at
         # its numerical floor; burning more budget only wastes time
-        improved = (val - val_new) > 1e-7 * (1.0 + jnp.abs(val))
+        improved = (val - val_new) > cfg.stall_tol * (1.0 + jnp.abs(val))
         noprog = jnp.where(
             stepping, jnp.where(improved, 0, noprog + 1), noprog
         )
@@ -658,10 +751,11 @@ def _solve_single(
         return (
             Znew, cd_n, ce_n, g_n, cost_n, lam_def, lam_eq, mu, rho,
             omega, lm, viol_prev, noprog, in_it, o_it, tot + 1, done, pgn,
+            ls_lo,
         )
 
     def cond(st):
-        (*_, o_it, tot, done, _pgn) = st
+        (*_, o_it, tot, done, _pgn, _ls_lo) = st
         return (~done) & (o_it < cfg.max_outer) & (tot < max_total)
 
     init = (
@@ -675,9 +769,10 @@ def _solve_single(
         jnp.asarray(0, jnp.int32),   # tot
         jnp.asarray(False),
         jnp.asarray(jnp.inf, dtype),
+        jnp.asarray(0, jnp.int32),   # ls_lo (line-search window cursor)
     )
     (Z, cd, ce, g, cost, lam_def, lam_eq, mu, rho, omega, lm, viol_prev,
-     noprog, in_it, o_it, tot, done, pgn) = jax.lax.while_loop(
+     noprog, in_it, o_it, tot, done, pgn, ls_lo) = jax.lax.while_loop(
         cond, body, init
     )
 
@@ -875,6 +970,63 @@ def solve_batched_rescue(
         return a.at[idx].set(bsel)
 
     return jax.tree.map(merge, res1, res2)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def solve_batched_staged(
+    nlp: NLP,
+    cfg: SolverConfig,
+    data: VGPData,
+    z0: Optional[jax.Array] = None,
+    stages=((256, 1024), (64, 2048)),
+    lam0=None,
+    rho0: Optional[jax.Array] = None,
+) -> SolveResult:
+    """Compacted multi-phase batched solve.
+
+    A vmapped ``while_loop`` runs until its WORST lane finishes, so the
+    tail of the iteration distribution sets the whole fleet's wall clock
+    (measured N=50 UAS bench: p50 = 398 Newton iterations, p99 = 1814 —
+    a plain batched solve burns > 4x the median's FLOPs on masked
+    no-ops). Here phase 1 runs the full batch under ``cfg`` (use a
+    moderate ``cfg.max_total``); then each ``(count, budget)`` stage
+    gathers the ``count`` worst lanes into a small batch (static shape —
+    pure gather, no host sync) and CONTINUES them warm (carried z,
+    multipliers and penalty) for ``budget`` more iterations at the small
+    batch's much lower per-iteration cost. Improved results scatter
+    back; lanes that still fail keep an honest MAX_ITER.
+
+    Use :func:`solve_batched_rescue` when failures are basin problems
+    (cold multistart); use this when they are budget problems (the
+    measured common case).
+    """
+    res = solve_batched.__wrapped__(nlp, cfg, data, z0, lam0, rho0)
+    for count, budget in stages:
+        B = res.status.shape[0]
+        M = min(count, B)
+        ok = res.status == jnp.int32(Status.SOLVED)
+        order = jnp.argsort(ok)  # unconverged lanes first
+        idx = order[:M]
+        sub = jax.tree.map(lambda a: a[idx], data)
+        cfg_i = dataclasses.replace(cfg, max_total=budget)
+        lam_i = (res.lam_def[idx], res.lam_eq[idx], res.mu[idx])
+        res_i = solve_batched.__wrapped__(
+            nlp, cfg_i, sub, res.z[idx], lam_i, res.rho[idx]
+        )
+        v_old = jnp.maximum(res.viol_eq[idx], res.viol_in[idx])
+        v_new = jnp.maximum(res_i.viol_eq, res_i.viol_in)
+        ok_old = ok[idx]
+        ok_new = res_i.status == jnp.int32(Status.SOLVED)
+        better = (ok_new & ~ok_old) | (~ok_old & (v_new < v_old))
+
+        def merge(a, b):
+            bsel = jnp.where(
+                better.reshape((M,) + (1,) * (b.ndim - 1)), b, a[idx]
+            )
+            return a.at[idx].set(bsel)
+
+        res = jax.tree.map(merge, res, res_i)
+    return res
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))

@@ -162,6 +162,41 @@ def solve_factored(
     return jnp.concatenate([x_rest, xK[None]], axis=0)
 
 
+def solve_factored_multi(
+    L_diag: jnp.ndarray, L_sub: jnp.ndarray, R: jnp.ndarray
+) -> jnp.ndarray:
+    """Solve H X = R for a block of right-hand sides. R is [K, w, m]
+    (m columns per node). Same sweeps as :func:`solve_factored`."""
+    K, w, _ = L_diag.shape
+
+    def fwd(y_prev, inputs):
+        Lk, Lsub_prev, rk = inputs
+        rhs = rk - _mm(Lsub_prev, y_prev)
+        yk = _tri_solve(Lk, rhs)
+        return yk, yk
+
+    y0 = _tri_solve(L_diag[0], R[0])
+    if K == 1:
+        y = y0[None]
+    else:
+        _, y_rest = lax.scan(fwd, y0, (L_diag[1:], L_sub, R[1:]))
+        y = jnp.concatenate([y0[None], y_rest], axis=0)
+
+    def bwd(x_next, inputs):
+        Lk, Lsub_k, yk = inputs
+        rhs = yk - _mm(Lsub_k.T, x_next)
+        xk = _tri_solve(Lk, rhs, trans=True)
+        return xk, xk
+
+    xK = _tri_solve(L_diag[-1], y[-1], trans=True)
+    if K == 1:
+        return xK[None]
+    _, x_rest = lax.scan(
+        bwd, xK, (L_diag[:-1], L_sub, y[:-1]), reverse=True
+    )
+    return jnp.concatenate([x_rest, xK[None]], axis=0)
+
+
 def solve(D: jnp.ndarray, O: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     """Factor + solve in one call. D [K,w,w], O [K-1,w,w], r [K,w]."""
     L_diag, L_sub = factor(D, O)

@@ -271,6 +271,37 @@ class NLP:
             return jnp.zeros((0,), z_node.dtype)
         return jnp.concatenate(parts)
 
+    def pos_dims(self, data: VGPData) -> int:
+        """State dims the obstacle constraints read: 2-D polygons plus
+        up-to-D-dim track balls. The GN Hessian assembly exploits this —
+        obstacle rows contribute a [pos_dims, pos_dims] block, not a
+        full node block."""
+        return min(max(2, int(data.tracks.xy.shape[-1])), self.dims.nx)
+
+    def node_ineq_obs(self, x, k, tc_k, data: VGPData) -> jnp.ndarray:
+        """Obstacle rows of :meth:`node_ineq_cached` only (a function of
+        the state's position dims), same values/order. 0-size when
+        ``use_obstacles`` is off."""
+        if not self.use_obstacles:
+            return jnp.zeros((0,), x.dtype)
+        gv = obstacles.collision_values_cached(
+            x, tc_k, data.obstacles, data.tracks, self.obstacle_form
+        )
+        return gv + self.obstacle_margin
+
+    def node_ineq_user(self, z_node, k, data: VGPData) -> jnp.ndarray:
+        """User path-inequality rows of :meth:`node_ineq_cached` only
+        (full node width), same values/order."""
+        x, u, p = self._split(z_node)
+        t = k.astype(z_node.dtype) * data.dt
+        parts = [
+            jnp.atleast_1d(self._user(g, x, u, t, data, p)).reshape(-1)
+            for g in self.path_ineq
+        ]
+        if not parts:
+            return jnp.zeros((0,), z_node.dtype)
+        return jnp.concatenate(parts)
+
     def track_center_table(self, data: VGPData) -> jnp.ndarray:
         """Moving-obstacle centers at every node time, [K, T, D]: a
         function of node TIME only, so the solver builds it once per

@@ -214,3 +214,41 @@ def test_warm_start_is_cheaper(ocp_solution):
     assert int(res2.status) == int(Status.SOLVED)
     assert int(res2.inner_iters) < int(res.inner_iters) // 2
     assert float(res2.obj) == pytest.approx(float(res.obj), abs=5e-3)
+
+
+def test_staged_compaction_matches_plain():
+    """solve_batched_staged: phase-1 budget too small to converge, the
+    continuation stages must finish the job and scatter results back."""
+    from etol_tpu.models import uas_2d
+    from etol_tpu.solve import SolverConfig, solve_batched_staged
+    import dataclasses as _dc
+    import jax as _jax
+
+    vgp, nlp = uas_2d(nsteps=12, dt=0.4, xf=(4.0, 3.0, 0.0))
+    data, dims = vgp.to_device()
+    B = 8
+    bdata = _jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), data
+    )
+    x0 = jnp.stack(
+        [jnp.asarray([0.05 * i, -0.03 * i, 0.0], jnp.float32)
+         for i in range(B)]
+    )
+    bdata = _dc.replace(bdata, x0=x0)
+    cfg = SolverConfig(max_total=60, rho0=316.0)
+    res = solve_batched_staged(
+        nlp, cfg, bdata, stages=((4, 1500), (2, 3000))
+    )
+    assert res.z.shape == (B, nlp.nz)
+    # the stages must have rescued at least the worst lanes: total
+    # solved count strictly above what a 60-iteration budget gives
+    from etol_tpu.solve import solve_batched
+    res0 = solve_batched(nlp, cfg, bdata)
+    n0 = int(jnp.sum(res0.status == int(Status.SOLVED)))
+    n1 = int(jnp.sum(res.status == int(Status.SOLVED)))
+    assert n1 >= n0
+    assert n1 >= 1
+    # continuation must never make a lane worse
+    v0 = jnp.maximum(res0.viol_eq, res0.viol_in)
+    v1 = jnp.maximum(res.viol_eq, res.viol_in)
+    assert float(jnp.max(v1 - v0)) <= 1e-6
