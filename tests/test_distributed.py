@@ -1,0 +1,129 @@
+"""Multi-process (simulated multi-host) execution over gloo TCP.
+
+Launches 2 REAL processes, each one "host" with 2 fake CPU devices,
+joined by jax.distributed — the CPU stand-in for a 2-host DCN job
+(SURVEY.md §4: multi-host tests runnable on CPU). Each process feeds
+its local lanes of a global batch; the batched solve runs under a
+global (4-device) mesh and both processes must agree on the result.
+"""
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    sys.path.insert(0, os.environ["ETOL_REPO"])
+
+    from etol_tpu.parallel import distributed
+
+    distributed.initialize()
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 4
+
+    import dataclasses
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from etol_tpu import batch_tile
+    from etol_tpu.models import double_integrator_2d
+    from etol_tpu.solve import SolverConfig, al_sqp
+
+    vgp, nlp = double_integrator_2d()  # default 20x0.25s horizon
+    nlp = dataclasses.replace(nlp, use_obstacles=False)
+    data, dims = vgp.to_device()
+    B = 8
+    lb, off = distributed.process_local_batch(B)
+
+    mesh = distributed.global_mesh(("batch",))
+    sharding = NamedSharding(mesh, P("batch"))
+
+    # per-process local lanes -> one global sharded batch
+    local = batch_tile(data, lb)
+    x0 = jnp.stack(
+        [jnp.asarray([0.1 * (off + i), 0.0, 0.0, 0.0], jnp.float32)
+         for i in range(lb)]
+    )
+    local = dataclasses.replace(local, x0=x0)
+
+    def globalize(a):
+        return jax.make_array_from_process_local_data(
+            NamedSharding(
+                mesh, P("batch", *([None] * (a.ndim - 1)))
+            ),
+            np.asarray(a),
+            (B,) + a.shape[1:],
+        )
+
+    gdata = jax.tree.map(globalize, local)
+    cfg = SolverConfig(max_total=400)
+
+    @jax.jit
+    def run(d):
+        r = al_sqp.solve_batched.__wrapped__(nlp, cfg, d, None, None)
+        return r.status, r.obj
+
+    status, obj = run(gdata)
+    # each process checks its own addressable lanes of the global array
+    st = np.concatenate(
+        [np.asarray(s.data).reshape(-1)
+         for s in status.addressable_shards]
+    )
+    print("STATUS", st.tolist(), flush=True)
+    assert st.size == lb and (st == 1).all(), st
+    print("WORKER_OK", jax.process_index(), flush=True)
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_gloo_batched_solve(tmp_path):
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            ETOL_REPO=os.path.dirname(os.path.dirname(__file__)),
+            ETOL_COORDINATOR=f"127.0.0.1:{port}",
+            ETOL_NUM_PROCS="2",
+            ETOL_PROC_ID=str(pid),
+            JAX_PLATFORMS="cpu",
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        assert f"WORKER_OK {pid}" in out
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
