@@ -243,10 +243,26 @@ def solve_lanes(D, O, r, interpret: bool = False, refine: int = 1,
                 block: int = 0):
     """Batched solve, lane-major kernel. D [B, K, w, w], O [B, K-1, w, w],
     r [B, K, w] -> x [B, K, w]. B must be a multiple of the lane tile
-    (pad); ``refine`` in-kernel refinement passes reuse the factor."""
+    (pad); ``refine`` in-kernel refinement passes reuse the factor.
+
+    ROOT CAUSE of the round-1 ``bench_err.log`` TPU-worker crash: lane
+    tiles wider than 128 with ``refine > 0`` overflow Mosaic's scoped
+    VMEM (its stack accounting runs ~3x the raw ref/scratch footprint —
+    the refinement pass materializes full [K, w, BT] slabs on top of the
+    factor scratch). bt=256 + refine=1 reproducibly fails remote
+    compilation (HTTP 500 from tpu_compile_helper) and previously could
+    crash the worker at run time. The guard below fails fast with a
+    clear error instead; :func:`pick_block` never selects such a tile.
+    """
     B, K, w, _ = D.shape
     bt = block or LANES
     assert B % bt == 0, f"batch {B} must be a multiple of {bt}"
+    if refine and bt > LANES and 3 * _vmem_bytes(K, w, bt) > _VMEM_CAP:
+        raise ValueError(
+            f"lane tile {bt} with refine={refine} exceeds Mosaic scoped "
+            f"VMEM at K={K}, w={w} (measured ~3x accounting factor); "
+            "use bt=128 or refine=0 — see pick_block()"
+        )
     Dt = D.reshape(B, K, w * w).transpose(1, 2, 0)      # [K, w2, B]
     Zo = jnp.zeros((B, 1, w, w), D.dtype)
     Opad = jnp.concatenate([O, Zo], axis=1)             # [B, K, w, w]

@@ -10,10 +10,10 @@ innermost (chip-major).
 
 Usage on each host of a pod/multi-host job::
 
-    from etol_tpu.parallel import distributed
+    from etol_tpu.parallel import distributed, mesh as pmesh
     distributed.initialize()          # env-driven (TPU pods: automatic)
-    mesh = distributed.global_mesh(("batch",))
-    res = mesh_solve_batched(nlp, cfg, bdata, mesh)   # parallel/mesh.py
+    m = distributed.global_mesh(("batch",))
+    res = pmesh.solve_sharded(nlp, cfg, bdata, m)     # parallel/mesh.py
 
 CPU testing without hardware: two processes with gloo TCP collectives
 (tests/test_distributed.py) — the standard JAX multi-process pattern.

@@ -109,18 +109,6 @@ class SolverConfig:
                                 # genuinely need tiny steps, and treating
                                 # them as failures stalls the lane and
                                 # death-spirals the penalty schedule
-    ls_window: int = 0          # 0 = evaluate the whole ls_grid every
-                                # iteration. > 0: evaluate only this many
-                                # consecutive exponents per iteration,
-                                # starting from a per-lane cursor that
-                                # tracks the last accepted step size
-                                # (moves down when the search fails, back
-                                # up when the largest candidate wins).
-                                # The full 0.5^0..0.5^23 range stays
-                                # reachable across iterations — unlike a
-                                # THINNED grid, which measurably loses
-                                # converged lanes — at a fraction of the
-                                # residual-pass cost
     max_total: int = 0          # global Newton-iteration budget across all
                                 # outer rounds; 0 = max_outer * max_inner.
                                 # The real wall-clock knob for batched
@@ -583,7 +571,7 @@ def _solve_single(
 
     max_total = cfg.max_total or cfg.max_outer * cfg.max_inner
     nls = max(min(cfg.ls_grid, len(_LS_EXPONENTS)), 1)
-    nls_w = min(cfg.ls_window, nls) if cfg.ls_window else nls
+    alphas = 0.5 ** jnp.asarray(_LS_EXPONENTS[:nls], dtype)
 
     cd0, ce0, g0 = F.residuals(Z0)
     cost0 = F.cost(Z0)
@@ -596,7 +584,7 @@ def _solve_single(
 
     def body(st):
         (Z, cd, ce, g, cost, lam_def, lam_eq, mu, rho, omega, lm,
-         viol_prev, noprog, in_it, o_it, tot, done, _pgn, ls_lo) = st
+         viol_prev, noprog, in_it, o_it, tot, done, _pgn) = st
 
         # ---- gradient/value at the CURRENT consistent (Z, multiplier)
         # pair; residuals are carried, so the value assembly is free
@@ -631,18 +619,14 @@ def _solve_single(
             Z, grad, lam_def, lam_eq, mu, rho, lm, g
         )
 
-        # parallel Armijo line search over the alpha grid (or the moving
-        # ls_window slice of it, anchored at this lane's cursor)
-        if cfg.ls_window:
-            exps = (
-                jnp.clip(
-                    ls_lo + jnp.arange(nls_w, dtype=jnp.int32),
-                    0, nls - 1,
-                )
-            ).astype(dtype)
-        else:
-            exps = jnp.asarray(_LS_EXPONENTS[:nls], dtype)
-        alphas = 0.5 ** exps
+        # parallel Armijo line search over the alpha grid. (A moving
+        # 8-candidate window anchored at the last accepted exponent was
+        # tried and REVERTED: the zigzag lanes alternate between the
+        # full step and ~0.5^10 backtracks, so any cursor-anchored
+        # window is always in the wrong place — solved fraction
+        # collapsed from 0.98 to < 0.01. The dense grid is ~1.3 ms of a
+        # 7 ms iteration; not the lever.)
+        exps = jnp.asarray(_LS_EXPONENTS[:nls], dtype)
         Zc = jnp.clip(Z[None] + alphas[:, None, None] * p[None], lb, ub)
         cdc, cec, gc = jax.vmap(F.residuals)(Zc)
         costc = jax.vmap(F.cost)(Zc)
@@ -686,16 +670,6 @@ def _solve_single(
             ),
         )
         lm = jnp.where(stepping, lm_step, lm)
-        if cfg.ls_window:
-            # cursor: follow the accepted exponent (one above it stays
-            # in view); on failure shift the window toward smaller steps
-            hi = max(nls - nls_w, 0)
-            ls_next = jnp.where(
-                ls_ok,
-                jnp.clip(ls_lo + sel - 1, 0, hi),
-                jnp.minimum(ls_lo + nls_w - 1, hi),
-            )
-            ls_lo = jnp.where(stepping, ls_next, ls_lo)
         # progress tracking: two consecutive iterations that cannot
         # improve the AL beyond f32 resolution = this subproblem is at
         # its numerical floor; burning more budget only wastes time
@@ -751,11 +725,10 @@ def _solve_single(
         return (
             Znew, cd_n, ce_n, g_n, cost_n, lam_def, lam_eq, mu, rho,
             omega, lm, viol_prev, noprog, in_it, o_it, tot + 1, done, pgn,
-            ls_lo,
         )
 
     def cond(st):
-        (*_, o_it, tot, done, _pgn, _ls_lo) = st
+        (*_, o_it, tot, done, _pgn) = st
         return (~done) & (o_it < cfg.max_outer) & (tot < max_total)
 
     init = (
@@ -769,10 +742,9 @@ def _solve_single(
         jnp.asarray(0, jnp.int32),   # tot
         jnp.asarray(False),
         jnp.asarray(jnp.inf, dtype),
-        jnp.asarray(0, jnp.int32),   # ls_lo (line-search window cursor)
     )
     (Z, cd, ce, g, cost, lam_def, lam_eq, mu, rho, omega, lm, viol_prev,
-     noprog, in_it, o_it, tot, done, pgn, ls_lo) = jax.lax.while_loop(
+     noprog, in_it, o_it, tot, done, pgn) = jax.lax.while_loop(
         cond, body, init
     )
 
