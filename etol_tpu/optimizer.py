@@ -195,6 +195,63 @@ class TrajectoryOptimizer:
         )
         return self.result
 
+    def solve_batch(
+        self,
+        x0: Optional[jax.Array] = None,
+        xf: Optional[jax.Array] = None,
+        data: Optional[VGPData] = None,
+        warm: bool = False,
+        rescue: bool = True,
+    ) -> SolveResult:
+        """Solve a fleet of variants of this problem in one device call.
+
+        Either pass a fully batched ``data`` (every leaf with a leading
+        batch axis, e.g. from :func:`etol_tpu.batch_tile`), or pass
+        ``x0``/``xf`` arrays of shape [B, nx] and the current problem is
+        tiled across them. Per-lane :class:`Status` rides in the result —
+        a diverged lane never poisons the batch (SURVEY.md §5). With
+        ``warm=True`` the previous batched solution warm-starts the fleet
+        (eGurobi changeX0 at scale, eGurobi.cpp:419-432). ``rescue=True``
+        (the default) gathers the worst lanes after the main phase and
+        re-solves them with shooting-seeded multistart
+        (:func:`al_sqp.solve_batched_rescue`)."""
+        if self.nlp is None:
+            raise ValueError("setup() must run before solve_batch()")
+        if data is None:
+            if x0 is None and xf is None:
+                raise ValueError("solve_batch needs x0/xf arrays or data")
+            B = int((x0 if x0 is not None else xf).shape[0])
+            from .core.problem import batch_tile
+
+            data = batch_tile(self.data, B)
+            if x0 is not None:
+                data = dataclasses.replace(
+                    data, x0=jnp.asarray(x0, self.dtype)
+                )
+            if xf is not None:
+                data = dataclasses.replace(
+                    data, xf=jnp.asarray(xf, self.dtype)
+                )
+        z0 = lam0 = rho0 = None
+        if warm and getattr(self, "_warm_batch", None) is not None:
+            z0, lam0, rho0 = self._warm_batch
+        t0 = time.time()
+        if rescue:
+            res = al_sqp.solve_batched_rescue(
+                self.nlp, self.config, data, z0=z0, lam0=lam0, rho0=rho0
+            )
+        else:
+            res = al_sqp.solve_batched(
+                self.nlp, self.config, data, z0, lam0, rho0
+            )
+        jax.block_until_ready(res.z)
+        self._solve_time = time.time() - t0
+        self._warm_batch = (
+            res.z, (res.lam_def, res.lam_eq, res.mu), res.rho
+        )
+        self.result = res
+        return res
+
     def plan(
         self,
         n_samples: int = 1024,

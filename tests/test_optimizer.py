@@ -72,3 +72,21 @@ def test_close(solved_opt):
     solved.set_x0([1.0, 2.0])  # restore the canonical start (mpc moved it)
     solved.solve()
     assert solved.get_status() == Status.SOLVED
+
+
+def test_solve_batch(solved_opt):
+    """Facade-level fleet solve: tiled x0 variants in one device call,
+    per-lane status (the docstring's "solve() accepts a batch" claim)."""
+    topt = solved_opt
+    x0 = np.asarray(topt.data.x0)[None, :] + np.array(
+        # stay clear of track mexz0 (center (1.51, 2), r=0.5 at t=0):
+        # +x perturbations from x0=(1,2) start inside the moving obstacle
+        [[0.0, 0.0], [-0.05, -0.05], [-0.1, 0.1]], dtype=np.float32
+    )
+    res = topt.solve_batch(x0=jnp.asarray(x0))
+    assert res.z.shape[0] == 3
+    assert np.all(np.asarray(res.status) == int(Status.SOLVED))
+    # warm fleet re-solve reuses the previous batched solution
+    res2 = topt.solve_batch(x0=jnp.asarray(x0 + 0.01), warm=True)
+    assert np.all(np.asarray(res2.status) == int(Status.SOLVED))
+    assert int(jnp.max(res2.inner_iters)) <= int(jnp.max(res.inner_iters))
