@@ -19,6 +19,17 @@ if os.environ.get("JAX_PLATFORMS"):
     # re-assert the env var's choice before backends initialize
     _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+# Persistent compilation cache: compiles on the tunneled TPU backend run
+# through a remote compile helper and are extremely slow (~200s for one
+# Pallas kernel, ~80s for the solver XLA program, measured round 2), so
+# a cold-cache bench run spends ~10-20 min compiling. The on-disk cache
+# makes every repeat run (including the driver's) start in seconds.
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/etol_jaxcache"),
+)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 import jax
 import jax.numpy as jnp
@@ -79,6 +90,16 @@ def main():
     shoot = int(os.environ.get("BENCH_SHOOTING", "512"))
     bdata = make_batch(nlp, data, B, jax.random.PRNGKey(0))
 
+    # staged compaction (VERDICT r1 #1c): the vmapped while_loop runs to
+    # the WORST lane (p50 = 398 Newton iterations, p99 = 1814 on this
+    # config), so a plain batched solve burns >4x the median's FLOPs as
+    # masked no-ops. Phase 1 runs the fleet at a p50-sized budget; the
+    # tail continues warm in compacted sub-batches at 1/4 and 1/16 the
+    # per-iteration cost.
+    cold_budget = int(os.environ.get("BENCH_BUDGET0", "768"))
+    cold_stages = ((max(B // 4, 1), 1024), (max(B // 16, 1), 2048))
+    cfg_cold = dataclasses.replace(cfg, max_total=cold_budget)
+
     def run(d):
         z0 = None
         if shoot:
@@ -87,7 +108,9 @@ def main():
             z0 = jax.vmap(
                 lambda dat: shooting.plan_guess(nlp, dat, shoot)
             )(d)
-        res = al_sqp.solve_batched.__wrapped__(nlp, cfg, d, z0, None)
+        res = al_sqp.solve_batched_staged.__wrapped__(
+            nlp, cfg_cold, d, z0, cold_stages
+        )
         # fold to scalars on-device so the sync below transfers O(1)
         # bytes; pulling a scalar to host is the only reliable
         # completion barrier on tunneled backends
@@ -96,12 +119,12 @@ def main():
             jnp.mean((res.status == 1).astype(jnp.float32)),
             jnp.max(res.viol_eq),
             jnp.max(res.viol_in),
-        )
+        ), res
 
     runj = jax.jit(run)
 
     t0 = time.time()
-    out = runj(bdata)
+    out, res0 = runj(bdata)
     solved = float(out[1])  # host pull = completion barrier
     log(f"compile+first run: {time.time()-t0:.1f}s")
     log(f"solved fraction: {solved:.3f}  max viol: "
@@ -117,7 +140,7 @@ def main():
     t0 = time.time()
     acc = jnp.float32(0.0)
     for d in batches:
-        acc = acc + runj(d)[0]
+        acc = acc + runj(d)[0][0]
     float(acc)  # completion barrier
     t_all = time.time() - t0
     t_med = t_all / iters
@@ -127,15 +150,20 @@ def main():
 
     # warm fleet-MPC throughput: re-solve the batch with perturbed x0,
     # warm-started from the previous solution (steady-state fleet MPC —
-    # the production workload; eGurobi changeX0 fast path at scale)
-    def solve_full(d):
-        return al_sqp.solve_batched.__wrapped__(nlp, cfg, d, None, None)
-
-    res0 = jax.jit(solve_full)(bdata)
-    float(jnp.sum(res0.z))
+    # the production workload; eGurobi changeX0 fast path at scale).
+    # res0 (the staged cold solve of bdata above) provides the fleet's
+    # converged iterates/multipliers/penalties.
+    # warm re-solves converge at p50 ~ 10 iterations but p99 lanes burn
+    # the full budget — round 1's warm throughput equaled cold because
+    # of that tail. A small phase-1 budget + compacted continuation is
+    # the fix (eGurobi changeX0 economics, eGurobi.cpp:419-432).
+    cfg_warm = dataclasses.replace(cfg, max_total=128)
+    warm_stages = ((max(B // 8, 1), 1024), (max(B // 32, 1), 2048))
 
     def warm(d, z0, lam, rho):
-        r = al_sqp.solve_batched.__wrapped__(nlp, cfg, d, z0, lam, rho)
+        r = al_sqp.solve_batched_staged.__wrapped__(
+            nlp, cfg_warm, d, z0, warm_stages, lam, rho
+        )
         return jnp.sum(r.z), r.z, (r.lam_def, r.lam_eq, r.mu), r.rho
 
     warmj = jax.jit(warm)
