@@ -95,8 +95,9 @@ class Dims:
                              # their [t_start, t_stop] window (the
                              # reference creates one named solver var per
                              # in-window timestep, eGLPK.cpp:275-332)
-    n_extra_ineq: int = 0    # user path inequality constraints per node
-    n_extra_eq: int = 0      # user path equality constraints per node
+    # NOTE: user path-constraint counts are NOT recorded here — the solver
+    # derives them by abstract evaluation of the NLP callbacks
+    # (al_sqp._result_sizes), so there is nothing to keep in sync.
 
     @property
     def nodes(self) -> int:

