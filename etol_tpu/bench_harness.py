@@ -5,6 +5,16 @@ receding-horizon solve latency"; north star 10k solves/s on a v5p-16,
 i.e. 625 solves/s/chip). Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 plus human-readable detail on stderr.
+
+Honesty contract (VERDICT r2 weak #1): the headline counts ONLY lanes
+whose status is SOLVED — `solved_solves_per_s = B * solved_fraction / t`
+— and the run complains loudly when solved_fraction < 0.95. The
+reference never reports a failed solve as a solve (eGLPK.cpp:64-77).
+
+MFU accounting (VERDICT r2 missing #4): the compiled cost analysis
+(XLA's flop count for one batch solve) divided by measured wall time,
+against the chip's dense-matmul peak — says whether the next speedup
+must come from fewer iterations or better kernels.
 """
 import dataclasses
 import json
@@ -42,6 +52,16 @@ from etol_tpu.solve import SolverConfig, al_sqp, shooting
 # north-star: 10k solves/s on a v5p-16 (16 chips) => 625 solves/s/chip
 BASELINE_PER_CHIP = 625.0
 
+# dense f32-accumulate matmul peak of the bench chip, used for the MFU
+# denominator. TPU v5e ("v5 lite"): ~197 TFLOP/s bf16; the solver runs
+# f32 HIGHEST-precision contractions (~3 bf16 passes), so the honest
+# ceiling for this program is ~1/3 of that. Both numbers are printed.
+PEAK_BF16_TFLOPS = {
+    "TPU v5 lite": 197.0,
+    "TPU v5": 459.0,
+    "TPU v4": 275.0,
+}
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -74,30 +94,31 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "5"))
 
     dev = jax.devices()[0]
-    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+    kind = getattr(dev, "device_kind", "?")
+    log(f"device: {dev.platform} {kind}")
 
     vgp, nlp = uas_2d(nsteps=nsteps)
     data, dims = vgp.to_device()
     kkt = "pallas" if jax.default_backend() == "tpu" else "scan"
-    # rho0=316 pairs with the collision-free shooting seeds below: the
-    # do-nothing low-rho outers are skipped (32/32 scattered lanes solve,
-    # ~27% fewer Newton iterations than rho0=10). High rho0 without a
-    # good seed IS harmful — keep the library default at 10.
+    # Round-3 solver config: trust-region-ratio Levenberg adaptation +
+    # violation-patience round exits cured the zigzag limit cycle
+    # (tools/sweep_r3.py: p50 Newton iterations 942 -> ~104, solved
+    # 0.95 -> 1.00 on this workload).
+    # rho0=316 pairs with the collision-free shooting seeds below.
     cfg = SolverConfig(
-        max_outer=32, max_inner=100, rho0=316.0, kkt_solver=kkt
+        max_outer=64, max_inner=100, rho0=316.0, kkt_solver=kkt,
+        lm_rule="ratio", round_viol_patience=4,
     )
     log(f"kkt_solver: {kkt}")
     shoot = int(os.environ.get("BENCH_SHOOTING", "512"))
     bdata = make_batch(nlp, data, B, jax.random.PRNGKey(0))
 
-    # staged compaction (VERDICT r1 #1c): the vmapped while_loop runs to
-    # the WORST lane (p50 = 398 Newton iterations, p99 = 1814 on this
-    # config), so a plain batched solve burns >4x the median's FLOPs as
-    # masked no-ops. Phase 1 runs the fleet at a p50-sized budget; the
-    # tail continues warm in compacted sub-batches at 1/4 and 1/16 the
-    # per-iteration cost.
-    cold_budget = int(os.environ.get("BENCH_BUDGET0", "768"))
-    cold_stages = ((max(B // 4, 1), 1024), (max(B // 16, 1), 2048))
+    # phase-1 budget sized at ~p99 of the measured iteration CDF (p50
+    # 104 / p99 187, tools/sweep_r3.py rvp4); one small compacted
+    # continuation stage mops up stragglers at 1/16 the per-iteration
+    # cost. (The r2 budgets stranded 37% of lanes — VERDICT r2 weak #1.)
+    cold_budget = int(os.environ.get("BENCH_BUDGET0", "160"))
+    cold_stages = ((max(B // 16, 1), 1024),)
     cfg_cold = dataclasses.replace(cfg, max_total=cold_budget)
 
     def run(d):
@@ -123,12 +144,27 @@ def main():
 
     runj = jax.jit(run)
 
+    # compiled FLOP count for the MFU denominator (cost_analysis is the
+    # compiler's static count over the whole program, while_loop bodies
+    # counted once per trip via the unrolled bound — treat as estimate)
+    flops_per_batch = None
+    try:
+        ca = runj.lower(bdata).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_batch = float(ca.get("flops", 0.0)) or None
+    except Exception as e:  # cost analysis is best-effort
+        log(f"cost_analysis unavailable: {e}")
+
     t0 = time.time()
     out, res0 = runj(bdata)
     solved = float(out[1])  # host pull = completion barrier
     log(f"compile+first run: {time.time()-t0:.1f}s")
     log(f"solved fraction: {solved:.3f}  max viol: "
         f"{float(out[2]):.2e}/{float(out[3]):.2e}")
+    if solved < 0.95:
+        log(f"*** BENCH UNHEALTHY: solved_fraction {solved:.3f} < 0.95 —"
+            f" headline counts only solved lanes; fix the budgets ***")
 
     # throughput: pre-stage all batches on device, dispatch back-to-back,
     # sync once at the end (steady-state pipeline; amortizes tunnel RTT)
@@ -139,52 +175,77 @@ def main():
     float(jnp.sum(batches[-1].x0))  # stage-in barrier
     t0 = time.time()
     acc = jnp.float32(0.0)
+    sfrac = []
     for d in batches:
-        acc = acc + runj(d)[0][0]
+        o, _ = runj(d)
+        acc = acc + o[0]
+        sfrac.append(o[1])
     float(acc)  # completion barrier
     t_all = time.time() - t0
     t_med = t_all / iters
-    solves_per_s = B / t_med
+    solved_run = float(jnp.mean(jnp.stack(sfrac)))
+    raw_solves_per_s = B / t_med
+    solves_per_s = B * solved_run / t_med  # HONEST: solved lanes only
     log(f"batch={B} N={nsteps} mean batch time {t_med*1e3:.1f}ms "
-        f"-> {solves_per_s:.0f} cold solves/s/chip")
+        f"solved {solved_run:.3f} -> {solves_per_s:.0f} SOLVED solves/s/"
+        f"chip ({raw_solves_per_s:.0f} raw)")
+
+    mfu = achieved_tflops = None
+    if flops_per_batch:
+        achieved_tflops = flops_per_batch / t_med / 1e12
+        peak = PEAK_BF16_TFLOPS.get(kind)
+        if peak:
+            mfu = achieved_tflops / peak
+            log(f"compiled flops/batch {flops_per_batch:.3e} -> "
+                f"{achieved_tflops:.1f} TFLOP/s = {100*mfu:.1f}% of "
+                f"{kind} bf16 peak ({peak:.0f} TF); f32-HIGHEST "
+                f"contraction ceiling is ~1/3 of that")
 
     # warm fleet-MPC throughput: re-solve the batch with perturbed x0,
     # warm-started from the previous solution (steady-state fleet MPC —
     # the production workload; eGurobi changeX0 fast path at scale).
-    # res0 (the staged cold solve of bdata above) provides the fleet's
-    # converged iterates/multipliers/penalties.
-    # warm re-solves converge at p50 ~ 10 iterations but p99 lanes burn
-    # the full budget — round 1's warm throughput equaled cold because
-    # of that tail. A small phase-1 budget + compacted continuation is
-    # the fix (eGurobi changeX0 economics, eGurobi.cpp:419-432).
-    cfg_warm = dataclasses.replace(cfg, max_total=128)
-    warm_stages = ((max(B // 8, 1), 1024), (max(B // 32, 1), 2048))
+    # Warm re-solves converge at p50 ~ 10 iterations; the budget covers
+    # the p99 tail via one compacted continuation stage.
+    warm_budget = int(os.environ.get("BENCH_WBUDGET", "48"))
+    cfg_warm = dataclasses.replace(cfg, max_total=warm_budget)
+    warm_stages = ((max(B // 16, 1), 512),)
 
     def warm(d, z0, lam, rho):
         r = al_sqp.solve_batched_staged.__wrapped__(
             nlp, cfg_warm, d, z0, warm_stages, lam, rho
         )
-        return jnp.sum(r.z), r.z, (r.lam_def, r.lam_eq, r.mu), r.rho
+        return (
+            jnp.sum(r.z),
+            jnp.mean((r.status == 1).astype(jnp.float32)),
+            r.z, (r.lam_def, r.lam_eq, r.mu), r.rho,
+        )
 
     warmj = jax.jit(warm)
     z0, lam, rho = res0.z, (res0.lam_def, res0.lam_eq, res0.mu), res0.rho
     d = bdata
-    s, z0, lam, rho = warmj(d, z0, lam, rho)  # compile
+    s, ws, z0, lam, rho = warmj(d, z0, lam, rho)  # compile
     float(s)
     t0 = time.time()
+    wss = []
     for i in range(iters):
         d = dataclasses.replace(
             d, x0=d.x0 + jnp.float32(0.01)
         )
-        s, z0, lam, rho = warmj(d, z0, lam, rho)
+        s, ws, z0, lam, rho = warmj(d, z0, lam, rho)
+        wss.append(ws)
     float(s)
     t_warm = (time.time() - t0) / iters
-    warm_solves_per_s = B / t_warm
-    log(f"warm fleet-MPC: {t_warm*1e3:.1f}ms/batch "
-        f"-> {warm_solves_per_s:.0f} warm solves/s/chip")
+    warm_solved = float(jnp.mean(jnp.stack(wss)))
+    warm_solves_per_s = B * warm_solved / t_warm
+    log(f"warm fleet-MPC: {t_warm*1e3:.1f}ms/batch solved "
+        f"{warm_solved:.3f} -> {warm_solves_per_s:.0f} warm SOLVED "
+        f"solves/s/chip")
 
-    # p50 receding-horizon latency: warm-started single-problem re-solve,
-    # measured per call including the host sync (that IS the MPC loop)
+    # p50 receding-horizon latency: warm-started single-problem re-solve.
+    # Two numbers: per-call including the host sync round-trip (that IS
+    # the closed-loop MPC experience through the tunnel), and the
+    # pipelined on-device time (K dispatches, one sync — what the chip
+    # itself spends; VERDICT r2 weak #4).
     res = al_sqp.solve(nlp, cfg, data)
     float(jnp.sum(res.z))
     lam = (res.lam_def, res.lam_eq, res.mu)
@@ -205,25 +266,42 @@ def main():
         float(s)
         lat.append(time.time() - t0)
     p50 = float(np.median(lat)) * 1e3
-    log(f"p50 warm MPC re-solve latency: {p50:.2f}ms "
-        f"(incl. host sync round-trip)")
+    # pipelined: dispatch 20 steps back-to-back, sync once
+    t0 = time.time()
+    accs = jnp.float32(0.0)
+    for i in range(20):
+        d2 = dataclasses.replace(
+            data, x0=data.x0 + jnp.float32(0.01 * (i + 1))
+        )
+        accs = accs + mpcj(d2)[0]
+    float(accs)
+    dev_ms = (time.time() - t0) / 20 * 1e3
+    log(f"p50 warm MPC re-solve latency: {p50:.2f}ms (incl. host sync "
+        f"round-trip); pipelined on-device {dev_ms:.2f}ms/step")
 
+    extras = {
+        "batch": B,
+        "nsteps": nsteps,
+        "solved_fraction": solved_run,
+        "raw_solves_per_s_per_chip": round(raw_solves_per_s, 2),
+        "warm_solves_per_s_per_chip": round(warm_solves_per_s, 2),
+        "warm_solved_fraction": warm_solved,
+        "p50_mpc_latency_ms": round(p50, 3),
+        "p50_mpc_device_ms": round(dev_ms, 3),
+    }
+    if flops_per_batch:
+        extras["flops_per_batch"] = flops_per_batch
+        extras["achieved_tflops"] = round(achieved_tflops, 3)
+        if mfu is not None:
+            extras["mfu_vs_bf16_peak"] = round(mfu, 4)
     print(
         json.dumps(
             {
-                "metric": "uas2d_n50_solves_per_s_per_chip",
+                "metric": "uas2d_n50_solved_solves_per_s_per_chip",
                 "value": round(solves_per_s, 2),
                 "unit": "solves/s/chip",
                 "vs_baseline": round(solves_per_s / BASELINE_PER_CHIP, 3),
-                "extras": {
-                    "batch": B,
-                    "nsteps": nsteps,
-                    "solved_fraction": solved,
-                    "warm_solves_per_s_per_chip": round(
-                        warm_solves_per_s, 2
-                    ),
-                    "p50_mpc_latency_ms": round(p50, 3),
-                },
+                "extras": extras,
             }
         )
     )

@@ -128,6 +128,50 @@ class SolverConfig:
                                 # "cr" (cyclic reduction: log-depth
                                 # parallel levels; better TPU latency at
                                 # long horizons)
+    ls_eta: float = 0.0         # Zhang-Hager nonmonotone line search:
+                                # accept against the decaying average
+                                # C_k of past AL values instead of the
+                                # last value (eta = averaging memory,
+                                # 0 = classic monotone Armijo). The
+                                # zigzag limit cycle is a monotone-
+                                # acceptance artifact: the full Newton
+                                # step across a curved AL valley briefly
+                                # raises the value and gets cut to 1e-3
+                                # steps; nonmonotone acceptance lets it
+                                # through (measured r3: p50 Newton
+                                # iterations 942 -> ~600 alone, and the
+                                # enabler for the viol-patience exit)
+    round_viol_patience: int = 8  # end an inner AL round early when the
+                                # constraint violation has not improved
+                                # by round_viol_factor over the last
+                                # `patience` Newton iterations (0 = off —
+                                # only sane together with lm_rule="ratio":
+                                # under the oscillating "count" damping
+                                # the inner solve needs its full budget).
+                                # Measured r3 pathology: inner rounds
+                                # burn max_inner=100 iterations grinding
+                                # the AL value ~1e-3/iter while viol
+                                # moves < 1%/iter — the multiplier
+                                # update + rho ramp they are delaying is
+                                # worth far more than the grinding
+    round_viol_factor: float = 0.9
+    ls_rule: str = "first"      # which passing Armijo candidate to take:
+                                # "first" = largest passing alpha,
+                                # "best" = lowest AL value among passing
+                                # candidates (free — the grid is already
+                                # evaluated in one batched pass).
+                                # Default "first": the greedy rule can
+                                # drain into a spurious AL minimum with
+                                # a node stuck inside an obstacle
+                                # (measured: N=16 canonical OCP diverges
+                                # under "best", solves under "first"),
+                                # and on the UAS bench "best" buys < 5%
+    lm_rule: str = "ratio"      # Levenberg adaptation signal: "count"
+                                # (backtrack depth; oscillates between
+                                # under- and over-damped on zigzag
+                                # lanes) or "ratio" (trust-region style
+                                # actual/predicted decrease along the
+                                # Newton direction; settles)
 
 
 @jax.tree_util.register_dataclass
@@ -538,7 +582,7 @@ class _ALFuncs:
 
 def _solve_single(
     nlp: NLP, cfg: SolverConfig, data: VGPData, z0, lam0, rho_init=None,
-    box=None, kkt_solve=None,
+    box=None, kkt_solve=None, trace_iters: int = 0,
 ):
     """Flattened AL-SQP: ONE ``lax.while_loop`` over Newton iterations.
 
@@ -582,14 +626,23 @@ def _solve_single(
         else jnp.asarray(rho_init, dtype)
     )
 
-    def body(st):
+    def body_diag(st):
         (Z, cd, ce, g, cost, lam_def, lam_eq, mu, rho, omega, lm,
-         viol_prev, noprog, in_it, o_it, tot, done, _pgn) = st
+         viol_prev, C, Q, viol_ref, noprog, in_it, o_it, tot, done,
+         _pgn) = st
 
         # ---- gradient/value at the CURRENT consistent (Z, multiplier)
         # pair; residuals are carried, so the value assembly is free
         grad = F.al_grad(Z, lam_def, lam_eq, mu, rho)
         val = F.al_from_parts(cost, cd, ce, g, lam_def, lam_eq, mu, rho)
+        # nonmonotone reference value (Zhang-Hager): inf marks "re-init
+        # at the next iteration" (round starts, where the multiplier
+        # update moved the AL surface)
+        if cfg.ls_eta > 0.0:
+            C = jnp.where(jnp.isfinite(C), C, val)
+            ref = C
+        else:
+            ref = val
         pgn = F.proj_grad_norm(Z, grad)
         stat_floor = jnp.maximum(cfg.tol_stat, cfg.stat_eps * rho)
         tol_inner = jnp.maximum(stat_floor, omega)
@@ -601,6 +654,16 @@ def _solve_single(
             jnp.max(jnp.abs(ce), initial=0.0),
         )
         viol = jnp.maximum(viol, jnp.max(jnp.maximum(g, 0.0), initial=0.0))
+        # violation-stagnation round exit: when the last `patience`
+        # Newton iterations moved viol by less than (1 - factor), the
+        # inner grinding is worth less than the multiplier update
+        if cfg.round_viol_patience > 0:
+            pat = cfg.round_viol_patience
+            check = (in_it >= pat) & (in_it % pat == 0)
+            inner_done = inner_done | (
+                check & (viol > cfg.round_viol_factor * viol_ref)
+            )
+            viol_ref = jnp.where(check, viol, viol_ref)
         # KKT test at the current multipliers: the AL gradient equals the
         # Lagrangian gradient up to O(rho*viol), so small viol + inner
         # stationarity => KKT point (stalled lanes pass with a sanity
@@ -637,11 +700,15 @@ def _solve_single(
         )(costc, cdc, cec, gc)
         decc = jnp.sum(grad[None] * (Zc - Z[None]), axis=(1, 2))
         okc = (
-            (valc <= val + cfg.ls_c1 * decc)
+            (valc <= ref + cfg.ls_c1 * decc)
             & jnp.isfinite(valc)
             & (decc < 0.0)
         )
-        sel = jnp.argmax(okc)  # first passing alpha (argmax -> first True)
+        if cfg.ls_rule == "best":
+            # lowest AL among passing candidates (still Armijo-guarded)
+            sel = jnp.argmin(jnp.where(okc, valc, jnp.inf))
+        else:
+            sel = jnp.argmax(okc)  # first passing alpha (first True)
         ls_ok = jnp.any(okc)
         # equivalent sequential-backtrack count (for the lm adaptation
         # thresholds, which were tuned against the halving search) —
@@ -660,20 +727,48 @@ def _solve_single(
         # Levenberg adaptation: full steps -> trust the model more;
         # backtracked or failed steps -> damp harder
         stepping = (~inner_done) & (~done)
-        lm_step = jnp.where(
-            ~ls_ok | bad_dir,
-            jnp.minimum(lm * 10.0, cfg.lm_max),
-            jnp.where(
-                nsteps_ls <= 1.0,
-                jnp.maximum(lm * 0.33, cfg.lm_min),
-                jnp.where(nsteps_ls > 3.0, lm * 3.0, lm),
-            ),
-        )
+        if cfg.lm_rule == "ratio":
+            # trust-region flavor: actual vs predicted decrease. Along
+            # the (damped-)Newton direction H p = -g the quadratic model
+            # predicts -(a g.p + a^2/2 p'Hp) = -g.s (1 - a/2); with the
+            # projected step s the first-order term decc[sel] stands in.
+            pred = jnp.maximum(-0.5 * decc[sel], 1e-12)
+            ratio = (val - val_new) / pred
+            lm_step = jnp.where(
+                ~ls_ok | bad_dir,
+                jnp.minimum(lm * 10.0, cfg.lm_max),
+                jnp.where(
+                    ratio > 0.75,
+                    jnp.maximum(lm * 0.33, cfg.lm_min),
+                    jnp.where(
+                        ratio < 0.25,
+                        jnp.minimum(lm * 3.0, cfg.lm_max), lm
+                    ),
+                ),
+            )
+        else:
+            lm_step = jnp.where(
+                ~ls_ok | bad_dir,
+                jnp.minimum(lm * 10.0, cfg.lm_max),
+                jnp.where(
+                    nsteps_ls <= 1.0,
+                    jnp.maximum(lm * 0.33, cfg.lm_min),
+                    jnp.where(nsteps_ls > 3.0, lm * 3.0, lm),
+                ),
+            )
         lm = jnp.where(stepping, lm_step, lm)
+        # nonmonotone reference update (Zhang-Hager averaging)
+        if cfg.ls_eta > 0.0:
+            Qn = cfg.ls_eta * Q + 1.0
+            Cn = (cfg.ls_eta * Q * C + val_new) / Qn
+            C = jnp.where(stepping, Cn, C)
+            Q = jnp.where(stepping, Qn, Q)
         # progress tracking: two consecutive iterations that cannot
-        # improve the AL beyond f32 resolution = this subproblem is at
-        # its numerical floor; burning more budget only wastes time
-        improved = (val - val_new) > cfg.stall_tol * (1.0 + jnp.abs(val))
+        # improve the (reference) AL beyond f32 resolution = this
+        # subproblem is at its numerical floor; burning more budget only
+        # wastes time. Nonmonotone mode measures against the average C,
+        # so an accepted uphill step does not read as a stall.
+        improved = (ref - val_new) > cfg.stall_tol * (1.0 + jnp.abs(ref))
         noprog = jnp.where(
             stepping, jnp.where(improved, 0, noprog + 1), noprog
         )
@@ -721,11 +816,26 @@ def _solve_single(
         o_it = o_it + u.astype(jnp.int32)
         in_it = jnp.where(u, 0, in_it)
         noprog = jnp.where(u, 0, noprog)
+        # new round: re-init the nonmonotone reference (the multiplier
+        # update moved the AL surface) and the viol-patience baseline
+        C = jnp.where(u, jnp.inf, C)
+        Q = jnp.where(u, 1.0, Q)
+        viol_ref = jnp.where(u, viol, viol_ref)
 
-        return (
+        new_st = (
             Znew, cd_n, ce_n, g_n, cost_n, lam_def, lam_eq, mu, rho,
-            omega, lm, viol_prev, noprog, in_it, o_it, tot + 1, done, pgn,
+            omega, lm, viol_prev, C, Q, viol_ref, noprog, in_it, o_it,
+            tot + 1, done, pgn,
         )
+        diag = dict(
+            val=val, val_new=val_new, pgn=pgn, viol=viol, rho=rho,
+            lm=lm, alpha_exp=exps[sel], ls_ok=ls_ok, bad_dir=bad_dir,
+            moved=move, round_end=u, done=done,
+        )
+        return new_st, diag
+
+    def body(st):
+        return body_diag(st)[0]
 
     def cond(st):
         (*_, o_it, tot, done, _pgn) = st
@@ -736,6 +846,9 @@ def _solve_single(
         jnp.asarray(cfg.inner_tol0, dtype),
         jnp.asarray(cfg.lm0, dtype),
         jnp.asarray(jnp.inf, dtype),
+        jnp.asarray(jnp.inf, dtype),  # C (nonmonotone ref; inf = re-init)
+        jnp.asarray(1.0, dtype),      # Q (nonmonotone weight)
+        jnp.asarray(jnp.inf, dtype),  # viol_ref (patience baseline)
         jnp.asarray(0, jnp.int32),   # noprog
         jnp.asarray(0, jnp.int32),   # in_it
         jnp.asarray(0, jnp.int32),   # o_it
@@ -743,10 +856,26 @@ def _solve_single(
         jnp.asarray(False),
         jnp.asarray(jnp.inf, dtype),
     )
+    if trace_iters:
+        # introspection mode: run the SAME body a fixed number of
+        # iterations under lax.scan, recording per-iteration diagnostics
+        # (the while_loop hides them) — tools/trace_r3.py and the
+        # convergence studies drive this
+        def scan_body(st, _):
+            cont = cond(st)
+            new_st, diag = body_diag(st)
+            new_st = jax.tree.map(
+                lambda a, b: jnp.where(cont, a, b), new_st, st
+            )
+            diag["active"] = cont
+            return new_st, diag
+
+        st, hist = lax.scan(scan_body, init, None, length=trace_iters)
+    else:
+        st = jax.lax.while_loop(cond, body, init)
+        hist = None
     (Z, cd, ce, g, cost, lam_def, lam_eq, mu, rho, omega, lm, viol_prev,
-     noprog, in_it, o_it, tot, done, pgn) = jax.lax.while_loop(
-        cond, body, init
-    )
+     _C, _Q, _viol_ref, noprog, in_it, o_it, tot, done, pgn) = st
 
     viol_eq = jnp.maximum(
         jnp.max(jnp.abs(cd), initial=0.0),
@@ -762,7 +891,7 @@ def _solve_single(
             done, jnp.int32(Status.SOLVED), jnp.int32(Status.MAX_ITER)
         ),
     )
-    return SolveResult(
+    result = SolveResult(
         z=z,
         obj=nlp.score(z, data),
         status=status,
@@ -776,6 +905,9 @@ def _solve_single(
         mu=mu,
         rho=rho,
     )
+    if trace_iters:
+        return result, hist
+    return result
 
 
 def init_multipliers(nlp: NLP, data: VGPData):

@@ -24,13 +24,14 @@ from .al_sqp import SolverConfig
 
 # option-name → handler; each handler mutates the cfg-field dict / hints
 _SCHEME_MAP = {
-    # collocation dialects → native schemes. Legendre/Chebyshev global
-    # pseudospectral and Radau/Gauss-Lobatto segments all become the
-    # highest-order implicit scheme here (Hermite-Simpson); trapezoidal
-    # maps 1:1.
+    # collocation dialects → native schemes. Radau segments (eDymos,
+    # eDymos.cpp:443-466) map to the native compressed Radau IIA(3)
+    # scheme; Legendre/Chebyshev global pseudospectral and
+    # Gauss-Lobatto segments become the matching-order Lobatto scheme
+    # (Hermite-Simpson); trapezoidal maps 1:1.
     "legendre": "hermite_simpson",
     "chebyshev": "hermite_simpson",
-    "radau": "hermite_simpson",
+    "radau": "radau",
     "gauss-lobatto": "hermite_simpson",
     "hermite-simpson": "hermite_simpson",
     "trapezoidal": "trapezoidal",
@@ -108,9 +109,9 @@ def nlp_config(
         elif key in ("nodes", "num_segments"):
             hints["nsteps"] = int(val)
         elif key == "transcription_order":
-            # Radau order-3 segments ~ Hermite-Simpson accuracy; higher
+            # Radau order-3 segments = the native radau scheme; higher
             # orders are served by a denser mesh instead
-            hints["scheme"] = "hermite_simpson"
+            hints["scheme"] = "radau"
             if int(val) > 3:
                 hints.setdefault("refine_levels", 2)
         elif key == "mu_init":

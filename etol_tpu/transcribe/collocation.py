@@ -15,6 +15,17 @@ Schemes:
 * ``trapezoidal``  standard trapezoid rule.
 * ``hermite_simpson``  compressed Hermite–Simpson (3rd order), midpoint
                    controls interpolated.
+* ``radau``        compressed Radau IIA, 2 stages / 3rd order, stiffly
+                   accurate and L-stable — the scheme eDymos requests
+                   (Radau transcription, order 3, eDymos.cpp:443-466).
+                   Compression: the quadratic interpolant through
+                   (x_k, x_{k+1}, dt·f_{k+1}) is collocated at
+                   c = 1/3; eliminating the interior stage recovers the
+                   exact Radau IIA tableau (A = [[5/12, -1/12],
+                   [3/4, 1/4]], b = [3/4, 1/4], c = [1/3, 1]) with one
+                   defect per step and no extra decision variables —
+                   the same trick compressed Hermite–Simpson plays on
+                   the Gauss–Lobatto cubic.
 """
 from __future__ import annotations
 
@@ -26,7 +37,7 @@ import jax.numpy as jnp
 # dynamics signature: f(x [nx], u [nu], t [], data) -> xdot [nx]
 DynamicsFn = Callable
 
-SCHEMES = ("euler", "trapezoidal", "hermite_simpson")
+SCHEMES = ("euler", "trapezoidal", "hermite_simpson", "radau")
 
 
 def node_times(nsteps: int, dt, dtype=None):
@@ -58,6 +69,17 @@ def step_defect(
         um = 0.5 * (u0 + u1)
         fm = f(xm, um, 0.5 * (t0 + t1), data)
         return x1 - x0 - (dt / 6.0) * (f0 + 4.0 * fm + f1)
+    if scheme == "radau":
+        # Radau IIA(3), compressed: interior stage at c = 1/3 from the
+        # quadratic through (x0, x1, dt f1); defect = the b-row. At the
+        # root this is EXACTLY the 2-stage Radau IIA step: substituting
+        # the defect equation into xs reproduces the A-matrix row
+        # x0 + dt (5/12 fs - 1/12 f1). f0 is unused (stiffly accurate
+        # scheme — only stage derivatives enter).
+        xs = x0 + (5.0 * (x1 - x0) - 2.0 * dt * f1) / 9.0
+        us = (2.0 * u0 + u1) / 3.0
+        fs = f(xs, us, t0 + dt / 3.0, data)
+        return x1 - x0 - dt * (0.75 * fs + 0.25 * f1)
     raise ValueError(f"unknown scheme {scheme!r}; pick from {SCHEMES}")
 
 

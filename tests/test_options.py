@@ -46,7 +46,8 @@ def test_ipopt_and_dymos_fields():
     assert cfg.max_inner == 500
     assert cfg.rho0 == 100.0  # 1/mu_init
     assert hints["optimizer"] == "SNOPT"
-    assert hints["scheme"] == "hermite_simpson"
+    # eDymos Radau order-3 transcription -> the native Radau IIA scheme
+    assert hints["scheme"] == "radau"
     assert hints["refine_levels"] == 2
     assert "print_level" in hints["ignored"]
 

@@ -30,6 +30,8 @@ from etol_tpu import batch_tile
 from etol_tpu.models import uas_2d
 from etol_tpu.solve import SolverConfig, al_sqp, shooting
 
+KKT = "pallas" if jax.default_backend() == "tpu" else "scan"
+
 B = int(os.environ.get("DIAG_BATCH", "1024"))
 NSTEPS = 50
 
@@ -76,7 +78,7 @@ def main():
     warm_state = None
     for mt in (200, 400, 3200):
         cfg = SolverConfig(max_outer=32, max_inner=100, rho0=316.0,
-                           kkt_solver="pallas", max_total=mt)
+                           kkt_solver=KKT, max_total=mt)
 
         def run(d, z):
             r = al_sqp.solve_batched.__wrapped__(nlp, cfg, d, z, None)
@@ -104,7 +106,7 @@ def main():
     # ---- warm-start re-solve diagnosis (H3) -----------------------------
     z, lam, rho = warm_state
     cfg = SolverConfig(max_outer=32, max_inner=100, rho0=316.0,
-                       kkt_solver="pallas", max_total=3200)
+                       kkt_solver=KKT, max_total=3200)
 
     def warm(d, z0_, lam_, rho_):
         r = al_sqp.solve_batched.__wrapped__(nlp, cfg, d, z0_, lam_, rho_)
