@@ -140,19 +140,23 @@ def main():
             jnp.mean((res.status == 1).astype(jnp.float32)),
             jnp.max(res.viol_eq),
             jnp.max(res.viol_in),
+            jnp.max(res.inner_iters),
         ), res
 
     runj = jax.jit(run)
 
-    # compiled FLOP count for the MFU denominator (cost_analysis is the
-    # compiler's static count over the whole program, while_loop bodies
-    # counted once per trip via the unrolled bound — treat as estimate)
-    flops_per_batch = None
+    # compiled FLOP count for the MFU numerator. XLA's cost_analysis
+    # counts a while_loop BODY ONCE (not per trip), so the reported
+    # "flops" is essentially the per-Newton-iteration FLOP count of the
+    # whole batch (+ one-time seed/stage overheads); total work =
+    # body_flops x executed trips, with the trip count measured from
+    # the solve itself below. Estimate, clearly labeled as such.
+    flops_per_iter = None
     try:
         ca = runj.lower(bdata).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops_per_batch = float(ca.get("flops", 0.0)) or None
+        flops_per_iter = float(ca.get("flops", 0.0)) or None
     except Exception as e:  # cost analysis is best-effort
         log(f"cost_analysis unavailable: {e}")
 
@@ -162,6 +166,7 @@ def main():
     log(f"compile+first run: {time.time()-t0:.1f}s")
     log(f"solved fraction: {solved:.3f}  max viol: "
         f"{float(out[2]):.2e}/{float(out[3]):.2e}")
+    trips = float(out[4])  # deepest lane = while_loop trip count
     if solved < 0.95:
         log(f"*** BENCH UNHEALTHY: solved_fraction {solved:.3f} < 0.95 —"
             f" headline counts only solved lanes; fix the budgets ***")
@@ -190,25 +195,35 @@ def main():
         f"solved {solved_run:.3f} -> {solves_per_s:.0f} SOLVED solves/s/"
         f"chip ({raw_solves_per_s:.0f} raw)")
 
-    mfu = achieved_tflops = None
-    if flops_per_batch:
+    mfu = achieved_tflops = flops_per_batch = None
+    if flops_per_iter:
+        # phase-1 trips (the deepest lane, <= cold_budget) dominate;
+        # the compacted stage runs at 1/16 batch so its per-trip cost
+        # is ~1/16 of the body — fold it in at that weight
+        est_trips = min(trips, cold_budget) + (
+            cold_stages[0][1] / 16 if cold_stages else 0
+        )
+        flops_per_batch = flops_per_iter * est_trips
         achieved_tflops = flops_per_batch / t_med / 1e12
         peak = PEAK_BF16_TFLOPS.get(kind)
         if peak:
             mfu = achieved_tflops / peak
-            log(f"compiled flops/batch {flops_per_batch:.3e} -> "
-                f"{achieved_tflops:.1f} TFLOP/s = {100*mfu:.1f}% of "
-                f"{kind} bf16 peak ({peak:.0f} TF); f32-HIGHEST "
-                f"contraction ceiling is ~1/3 of that")
+            log(f"est. flops: {flops_per_iter:.2e}/iter x ~{est_trips:.0f}"
+                f" trips = {flops_per_batch:.2e}/batch -> "
+                f"{achieved_tflops:.2f} TFLOP/s = {100*mfu:.2f}% of "
+                f"{kind} bf16 peak ({peak:.0f} TF). The node blocks are "
+                f"w=5 wide — this workload is VPU/VMEM-bound, not "
+                f"MXU-bound; low MFU is expected and says iteration "
+                f"count, not kernels, is the lever")
 
     # warm fleet-MPC throughput: re-solve the batch with perturbed x0,
     # warm-started from the previous solution (steady-state fleet MPC —
     # the production workload; eGurobi changeX0 fast path at scale).
     # Warm re-solves converge at p50 ~ 10 iterations; the budget covers
     # the p99 tail via one compacted continuation stage.
-    warm_budget = int(os.environ.get("BENCH_WBUDGET", "48"))
+    warm_budget = int(os.environ.get("BENCH_WBUDGET", "24"))
     cfg_warm = dataclasses.replace(cfg, max_total=warm_budget)
-    warm_stages = ((max(B // 16, 1), 512),)
+    warm_stages = ((max(B // 16, 1), int(os.environ.get("BENCH_WSTAGE", "256"))),)
 
     def warm(d, z0, lam, rho):
         r = al_sqp.solve_batched_staged.__wrapped__(
@@ -290,10 +305,11 @@ def main():
         "p50_mpc_device_ms": round(dev_ms, 3),
     }
     if flops_per_batch:
-        extras["flops_per_batch"] = flops_per_batch
+        extras["flops_per_iteration"] = flops_per_iter
+        extras["est_flops_per_batch"] = flops_per_batch
         extras["achieved_tflops"] = round(achieved_tflops, 3)
         if mfu is not None:
-            extras["mfu_vs_bf16_peak"] = round(mfu, 4)
+            extras["mfu_vs_bf16_peak"] = round(mfu, 5)
     print(
         json.dumps(
             {

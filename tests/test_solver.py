@@ -129,8 +129,12 @@ def test_mip_problem():
     np.testing.assert_allclose(np.asarray(X[-1]), [5.0, 4.0], atol=0.011)
     assert _no_node_inside_obstacles(vgp, X) == []
     # L1 optimum: total |u0| = 4/0.5 = 8 (x slack is zero), |u1| >= 4;
-    # MILP optimum is 12; the conservative ellipse inflation forces the
-    # longer top route (~14)
+    # MILP optimum is 12. THIS smooth path is deliberately conservative
+    # (ellipse bands + softmin containment inflate the obstacles) and
+    # lands on the longer route (~14). EXACT big-M parity — obj <= 12.1
+    # via escape-side branching — is delivered by solve/side_branch.py
+    # and asserted in tests/test_golden.py against the committed HiGHS
+    # golden (obj 11.96).
     assert 11.9 <= float(res.obj) <= 14.5
 
 
