@@ -37,6 +37,8 @@ VARIANTS = dict(
     obspc={},
     ls1=dict(ls_grid=1),
     ls8=dict(ls_grid=8),
+    ls12=dict(ls_grid=12),
+    gnh=dict(hessian="gn"),
     gn=dict(hessian="gn"),
     cr=dict(kkt_solver="cr"),
     scan=dict(kkt_solver="scan"),
