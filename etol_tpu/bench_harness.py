@@ -102,11 +102,13 @@ def main():
     kkt = "pallas" if jax.default_backend() == "tpu" else "scan"
     # Round-3 solver config: trust-region-ratio Levenberg adaptation +
     # violation-patience round exits cured the zigzag limit cycle
-    # (tools/sweep_r3.py: p50 Newton iterations 942 -> ~104, solved
-    # 0.95 -> 1.00 on this workload).
-    # rho0=316 pairs with the collision-free shooting seeds below.
+    # (tools/sweep_r3.py: p50 Newton iterations 942 -> ~97, solved
+    # 0.95 -> 1.00 on this workload). rho0=1000 pairs with the
+    # collision-free shooting seeds below (rvp41k: p50 97 / p99 149 vs
+    # 104/187 at rho0=316; high rho0 without a good seed IS harmful —
+    # the library default stays 10).
     cfg = SolverConfig(
-        max_outer=64, max_inner=100, rho0=316.0, kkt_solver=kkt,
+        max_outer=64, max_inner=100, rho0=1000.0, kkt_solver=kkt,
         lm_rule="ratio", round_viol_patience=4,
     )
     log(f"kkt_solver: {kkt}")
@@ -114,11 +116,21 @@ def main():
     bdata = make_batch(nlp, data, B, jax.random.PRNGKey(0))
 
     # phase-1 budget sized at ~p99 of the measured iteration CDF (p50
-    # 104 / p99 187, tools/sweep_r3.py rvp4); one small compacted
+    # 97 / p99 149, tools/sweep_r3.py rvp41k); one small compacted
     # continuation stage mops up stragglers at 1/16 the per-iteration
     # cost. (The r2 budgets stranded 37% of lanes — VERDICT r2 weak #1.)
-    cold_budget = int(os.environ.get("BENCH_BUDGET0", "160"))
-    cold_stages = ((max(B // 16, 1), 1024),)
+    # phase-1 at ~p50 of the iteration CDF, then a 3-stage compaction
+    # ladder (B/2 x 32, B/8 x 96, B/32 x 1024): each stage continues the
+    # unfinished tail warm at a fraction of the per-iteration cost.
+    # Swept on-chip: budget 97 + this ladder beats 152+1 stage (809),
+    # 110+2 stages (946); deeper cuts strand lanes (85: solved 0.894)
+    cold_budget = int(os.environ.get("BENCH_BUDGET0", "97"))
+    _stages_env = os.environ.get("BENCH_STAGES", "2:32,8:96,32:1024")
+    # "div:budget,..." -> ((B//div, budget), ...)
+    cold_stages = tuple(
+        (max(B // int(dv), 1), int(bd))
+        for dv, bd in (p.split(":") for p in _stages_env.split(","))
+    )
     cfg_cold = dataclasses.replace(cfg, max_total=cold_budget)
 
     def run(d):

@@ -35,7 +35,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-_VMEM_CAP = 10 * 1024 * 1024  # bytes per grid cell
+# scoped-VMEM budget per grid cell. Mosaic's stack accounting runs ~3x
+# the raw ref/scratch footprint; solve_lanes raises the Mosaic limit to
+# 100MB via CompilerParams(vmem_limit_bytes), so the guard/picker cap is
+# 100/3 ~ 30MB (was 10MB against the ~16MB default limit — r1's worker
+# crash at bt=256+refine came from exceeding the DEFAULT limit)
+_VMEM_CAP = 30 * 1024 * 1024  # bytes per grid cell
 
 
 def _tri(i: int, j: int) -> int:
@@ -275,6 +280,14 @@ def solve_lanes(D, O, r, interpret: bool = False, refine: int = 1,
         _bt_kernel(K, w, refine),
         out_shape=jax.ShapeDtypeStruct((K, w, B), D.dtype),
         grid=grid,
+        # raise Mosaic's scoped-VMEM limit (default ~16MB of the chip's
+        # 128MB): wide lane tiles with in-kernel refinement are VMEM-
+        # hungry (~3x the raw footprint in scoped accounting) but cut
+        # the sequential grid-cell count 2-4x
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+        ),
         in_specs=[
             pl.BlockSpec(
                 (K, w * w, bt), lambda i: (0, 0, i),
@@ -307,14 +320,15 @@ def usable(K: int, w: int) -> bool:
 
 
 def pick_block(B: int, K: int, w: int) -> int:
-    """Widest lane tile that divides B and fits VMEM. Mosaic's scoped
-    stack accounting runs ~3x the raw ref/scratch footprint (measured:
-    bt=256 at K=51 w=5 wants 19-28MB vs the 5.7MB model), so apply that
-    factor before going wider than one [8,128] register of lanes."""
-    for bt in (512, 256, 128):
-        if B % bt == 0 and 3 * _vmem_bytes(K, w, bt) <= _VMEM_CAP:
-            return bt
-    return LANES
+    """Lane tile choice. MEASURED on v5e (tools/kkt_kernel_bench.py,
+    B=1024 K=51 w=5, timed inside a jitted loop): bt=128+refine1 runs
+    0.51 ms/solve vs 0.70 ms at bt=256 — one [8,128] register of lanes
+    is the sweet spot; wider tiles spill VMEM traffic without cutting
+    the sequential K-recurrence. Keep 128 unless the batch doesn't
+    reach it."""
+    return LANES if B % LANES == 0 else max(
+        bt for bt in (1, 2, 4, 8, 16, 32, 64) if B % bt == 0
+    )
 
 
 # ---------------------------------------------------------------------------

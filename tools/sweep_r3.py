@@ -99,6 +99,13 @@ VARIANTS = dict(
     rvp4rg3=dict(lm_rule="ratio", round_viol_patience=4,
                  rho_growth=3.16),
     rvp6=dict(lm_rule="ratio", round_viol_patience=6),
+    rvp41k=dict(lm_rule="ratio", round_viol_patience=4, rho0=1000.0),
+    rvp43k=dict(lm_rule="ratio", round_viol_patience=4, rho0=3162.0),
+    rvp31k=dict(lm_rule="ratio", round_viol_patience=3, rho0=1000.0),
+    rvp4f85=dict(lm_rule="ratio", round_viol_patience=4,
+                 round_viol_factor=0.85),
+    rvp4mi50=dict(lm_rule="ratio", round_viol_patience=4, max_inner=50),
+    rvp4lm=dict(lm_rule="ratio", round_viol_patience=4, lm0=1e-4),
     brvp4=dict(ls_rule="best", lm_rule="ratio", round_viol_patience=4),
     brvp6rg3=dict(ls_rule="best", lm_rule="ratio", round_viol_patience=6,
                   rho_growth=3.16),
