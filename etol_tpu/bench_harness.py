@@ -110,6 +110,7 @@ def main():
     cfg = SolverConfig(
         max_outer=64, max_inner=100, rho0=1000.0, kkt_solver=kkt,
         lm_rule="ratio", round_viol_patience=4,
+        rho_growth=float(os.environ.get("BENCH_RG", "3.16")),
     )
     log(f"kkt_solver: {kkt}")
     shoot = int(os.environ.get("BENCH_SHOOTING", "512"))
@@ -122,9 +123,10 @@ def main():
     # phase-1 at ~p50 of the iteration CDF, then a 3-stage compaction
     # ladder (B/2 x 32, B/8 x 96, B/32 x 1024): each stage continues the
     # unfinished tail warm at a fraction of the per-iteration cost.
-    # Swept on-chip: budget 97 + this ladder beats 152+1 stage (809),
-    # 110+2 stages (946); deeper cuts strand lanes (85: solved 0.894)
-    cold_budget = int(os.environ.get("BENCH_BUDGET0", "97"))
+    # Swept on-chip: budget 83(rg3) + this ladder = 1256 solves/s vs
+    # 152+1 stage (809), 110+2 stages (946), 97+3 stages (1093);
+    # under-staged deeper cuts strand lanes (solved < 0.95)
+    cold_budget = int(os.environ.get("BENCH_BUDGET0", "83"))
     _stages_env = os.environ.get("BENCH_STAGES", "2:32,8:96,32:1024")
     # "div:budget,..." -> ((B//div, budget), ...)
     cold_stages = tuple(
@@ -233,7 +235,7 @@ def main():
     # the production workload; eGurobi changeX0 fast path at scale).
     # Warm re-solves converge at p50 ~ 10 iterations; the budget covers
     # the p99 tail via one compacted continuation stage.
-    warm_budget = int(os.environ.get("BENCH_WBUDGET", "24"))
+    warm_budget = int(os.environ.get("BENCH_WBUDGET", "32"))
     cfg_warm = dataclasses.replace(cfg, max_total=warm_budget)
     warm_stages = ((max(B // 16, 1), int(os.environ.get("BENCH_WSTAGE", "128"))),)
 

@@ -106,6 +106,18 @@ VARIANTS = dict(
                  round_viol_factor=0.85),
     rvp4mi50=dict(lm_rule="ratio", round_viol_patience=4, max_inner=50),
     rvp4lm=dict(lm_rule="ratio", round_viol_patience=4, lm0=1e-4),
+    rvp41krg3=dict(lm_rule="ratio", round_viol_patience=4, rho0=1000.0,
+                   rho_growth=3.16),
+    rvp41krg25=dict(lm_rule="ratio", round_viol_patience=4, rho0=1000.0,
+                    rho_growth=2.5),
+    rvp31krg3=dict(lm_rule="ratio", round_viol_patience=3, rho0=1000.0,
+                   rho_growth=3.16),
+    rvp41krm=dict(lm_rule="ratio", round_viol_patience=4, rho0=1000.0,
+                  rho_max=3e4),
+    rvp41kgn=dict(lm_rule="ratio", round_viol_patience=4, rho0=1000.0,
+                  hessian="gn"),
+    rvp41krg3gn=dict(lm_rule="ratio", round_viol_patience=4,
+                     rho0=1000.0, rho_growth=3.16, hessian="gn"),
     brvp4=dict(ls_rule="best", lm_rule="ratio", round_viol_patience=4),
     brvp6rg3=dict(ls_rule="best", lm_rule="ratio", round_viol_patience=6,
                   rho_growth=3.16),
