@@ -138,6 +138,17 @@ def test_mip_problem():
     assert 11.9 <= float(res.obj) <= 14.5
 
 
+def test_convergence_budget_regression(ocp_solution):
+    """Round-3 convergence guard: the ratio-damped, patience-exited
+    AL-SQP solves the canonical OCP in well under 300 Newton iterations
+    (measured ~90-170 across platforms; the pre-fix zigzag scheme burned
+    600+ at max_outer=20). A regression past this bound means the
+    damping or round-exit logic broke — see tools/sweep_r3.py."""
+    *_, res = ocp_solution
+    assert int(res.status) == int(Status.SOLVED)
+    assert int(res.inner_iters) < 300
+
+
 def test_double_integrator():
     vgp, nlp = double_integrator_2d()
     data, dims = vgp.to_device()
