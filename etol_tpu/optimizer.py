@@ -203,7 +203,7 @@ class TrajectoryOptimizer:
         xf: Optional[jax.Array] = None,
         data: Optional[VGPData] = None,
         warm: bool = False,
-        rescue: bool = True,
+        rescue: Optional[bool] = None,
         rescue_lanes: int = 0,
         rescue_cfg: Optional[SolverConfig] = None,
     ) -> SolveResult:
@@ -222,8 +222,12 @@ class TrajectoryOptimizer:
         shooting-seeded multistart
         (:func:`al_sqp.solve_batched_rescue`). Note the rescue phase is
         a static-shape program — its cost is paid even when every lane
-        already converged in phase 1; for steady-state warm fleets pass
-        ``rescue=False`` or a small ``rescue_lanes``.
+        already converged in phase 1. Default (``rescue=None``): rescue
+        runs on COLD solves only; a warm fleet re-solve (the
+        steady-state MPC tick) skips it, because paying a B//8-lane
+        multistart on every tick is the wrong economics
+        (eGurobi.cpp:419-432 exists precisely to make re-solves cheap).
+        Pass an explicit True/False to override.
 
         The batched result is stored as :attr:`batch_result`;
         ``self.result`` (the scalar lifecycle: ``get_score``/
@@ -258,6 +262,8 @@ class TrajectoryOptimizer:
                     f"{int(z0.shape[0])} != {B}; falling back to cold start"
                 )
                 z0 = lam0 = rho0 = None
+        if rescue is None:
+            rescue = z0 is None  # cold solves rescue; warm ticks skip
         t0 = time.time()
         if rescue:
             res = al_sqp.solve_batched_rescue(

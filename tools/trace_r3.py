@@ -47,8 +47,12 @@ def main():
          jnp.zeros((B, 1))], axis=1).astype(jnp.float32)
     bdata = dataclasses.replace(bdata, x0=x0, xf=xf)
 
-    cfg = SolverConfig(max_outer=32, max_inner=100, rho0=316.0,
-                       kkt_solver=KKT, max_total=TRACE_ITERS)
+    cfg = SolverConfig(
+        max_outer=64, max_inner=100,
+        rho0=float(os.environ.get("TRACE_RHO0", "1000")),
+        rho_growth=float(os.environ.get("TRACE_RG", "3.16")),
+        round_viol_patience=int(os.environ.get("TRACE_VP", "4")),
+        kkt_solver=KKT, max_total=TRACE_ITERS)
 
     seedj = jax.jit(lambda d: jax.vmap(
         lambda dat: shooting.plan_guess(nlp, dat, 512))(d))
