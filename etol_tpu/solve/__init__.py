@@ -18,7 +18,7 @@ from .al_sqp import (
     solve_batched_staged,
     solve_multistart,
 )
-from . import al_sqp, btridiag, planners, shooting
+from . import al_sqp, btridiag, planners, shooting, side_branch
 from .branch_bound import MIPResult, integer_mask, solve_milp
 from .options import nlp_config
 from .planners import PLANNERS
@@ -42,4 +42,5 @@ __all__ = [
     "planners",
     "PLANNERS",
     "shooting",
+    "side_branch",
 ]

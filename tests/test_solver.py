@@ -138,6 +138,22 @@ def test_mip_problem():
     assert 11.9 <= float(res.obj) <= 14.5
 
 
+def test_nonmonotone_and_patience_knobs_solve():
+    """The round-3 SolverConfig knobs (Zhang-Hager nonmonotone line
+    search, violation-patience round exit, ratio damping) each solve the
+    canonical OCP — coverage for the non-default combinations."""
+    vgp, nlp = canonical_ocp_2d()
+    data, dims = vgp.to_device()
+    for kw in (
+        dict(ls_eta=0.85),
+        dict(round_viol_patience=4, rho_growth=3.16),
+        dict(lm_rule="count", round_viol_patience=0),  # the r2 scheme
+    ):
+        res = solve(nlp, SolverConfig(**kw), data)
+        assert int(res.status) == int(Status.SOLVED), kw
+        assert float(res.viol_eq) < 1e-4
+
+
 def test_convergence_budget_regression(ocp_solution):
     """Round-3 convergence guard: the ratio-damped, patience-exited
     AL-SQP solves the canonical OCP in well under 300 Newton iterations
