@@ -155,6 +155,14 @@ class SolverConfig:
                                 # update + rho ramp they are delaying is
                                 # worth far more than the grinding
     round_viol_factor: float = 0.9
+    ls_deep_round: int = 0      # treat an accepted step at alpha <=
+                                # 2^-this as stall evidence (a deep
+                                # micro-polish step means the direction
+                                # is fighting the AL kink — the
+                                # multiplier update is worth more than
+                                # another polish; 0 = off). Two
+                                # consecutive such steps end the round
+                                # via the existing noprog counter.
     ls_rule: str = "first"      # which passing Armijo candidate to take:
                                 # "first" = largest passing alpha,
                                 # "best" = lowest AL value among passing
@@ -769,6 +777,8 @@ def _solve_single(
         # wastes time. Nonmonotone mode measures against the average C,
         # so an accepted uphill step does not read as a stall.
         improved = (ref - val_new) > cfg.stall_tol * (1.0 + jnp.abs(ref))
+        if cfg.ls_deep_round > 0:
+            improved = improved & (exps[sel] < cfg.ls_deep_round)
         noprog = jnp.where(
             stepping, jnp.where(improved, 0, noprog + 1), noprog
         )

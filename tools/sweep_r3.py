@@ -108,6 +108,12 @@ VARIANTS = dict(
     rvp4lm=dict(lm_rule="ratio", round_viol_patience=4, lm0=1e-4),
     rvp41krg3=dict(lm_rule="ratio", round_viol_patience=4, rho0=1000.0,
                    rho_growth=3.16),
+    deep8=dict(lm_rule="ratio", round_viol_patience=4, rho0=1000.0,
+               rho_growth=3.16, ls_deep_round=8),
+    deep10=dict(lm_rule="ratio", round_viol_patience=4, rho0=1000.0,
+                rho_growth=3.16, ls_deep_round=10),
+    deep12=dict(lm_rule="ratio", round_viol_patience=4, rho0=1000.0,
+                rho_growth=3.16, ls_deep_round=12),
     rvp41krg25=dict(lm_rule="ratio", round_viol_patience=4, rho0=1000.0,
                     rho_growth=2.5),
     rvp31krg3=dict(lm_rule="ratio", round_viol_patience=3, rho0=1000.0,
