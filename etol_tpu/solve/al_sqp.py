@@ -155,6 +155,12 @@ class SolverConfig:
                                 # update + rho ramp they are delaying is
                                 # worth far more than the grinding
     round_viol_factor: float = 0.9
+    dual_relax: float = 1.0     # over-relaxation of the multiplier
+                                # update (lambda += relax * rho * c;
+                                # PHR clip applies after): > 1 is the
+                                # cheap SOR-flavored acceleration of
+                                # the dual sequence (cf. ADMM's
+                                # relaxation parameter ~1.6-1.8)
     ls_deep_round: int = 0      # treat an accepted step at alpha <=
                                 # 2^-this as stall evidence (a deep
                                 # micro-polish step means the direction
@@ -789,9 +795,10 @@ def _solve_single(
         # returned POST-update multipliers, which is what an MPC re-solve
         # wants as its warm start)
         u = inner_done & (~done_prev)
-        lam_def = jnp.where(u, lam_def + rho * cd, lam_def)
-        lam_eq = jnp.where(u, lam_eq + rho * ce, lam_eq)
-        mu = jnp.where(u, jnp.maximum(0.0, mu + rho * g), mu)
+        drho = cfg.dual_relax * rho
+        lam_def = jnp.where(u, lam_def + drho * cd, lam_def)
+        lam_eq = jnp.where(u, lam_eq + drho * ce, lam_eq)
+        mu = jnp.where(u, jnp.maximum(0.0, mu + drho * g), mu)
         # grow the penalty only while actually infeasible — growing it
         # during the stationarity-polish phase explodes the AL gradient.
         # NOTE on CPU test flakiness: AL from an infeasible guess on a

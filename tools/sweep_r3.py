@@ -114,6 +114,14 @@ VARIANTS = dict(
                 rho_growth=3.16, ls_deep_round=10),
     deep12=dict(lm_rule="ratio", round_viol_patience=4, rho0=1000.0,
                 rho_growth=3.16, ls_deep_round=12),
+    dr13=dict(lm_rule="ratio", round_viol_patience=4, rho0=1000.0,
+              rho_growth=3.16, dual_relax=1.3),
+    dr16=dict(lm_rule="ratio", round_viol_patience=4, rho0=1000.0,
+              rho_growth=3.16, dual_relax=1.6),
+    dr19=dict(lm_rule="ratio", round_viol_patience=4, rho0=1000.0,
+              rho_growth=3.16, dual_relax=1.9),
+    dr16rg2=dict(lm_rule="ratio", round_viol_patience=4, rho0=1000.0,
+                 dual_relax=1.6),
     rvp41krg25=dict(lm_rule="ratio", round_viol_patience=4, rho0=1000.0,
                     rho_growth=2.5),
     rvp31krg3=dict(lm_rule="ratio", round_viol_patience=3, rho0=1000.0,
