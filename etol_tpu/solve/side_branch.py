@@ -43,9 +43,9 @@ rows the reference writes at +-r around the interpolated center
 from __future__ import annotations
 
 import dataclasses
+import functools
 import heapq
 import itertools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -360,10 +360,7 @@ def solve_exact(
     )
 
 
-import functools as _functools
-
-
-@_functools.partial(jax.jit, static_argnums=(0, 1))
+@functools.partial(jax.jit, static_argnums=(0, 1))
 def _wave_jit(bnlp: NLP, cfg: SolverConfig, sdata: SideData, z0s, lam0):
     def one(sd, z0):
         return _solve_single(bnlp, cfg, sd, z0, lam0)

@@ -11,7 +11,6 @@ These tests pin that claim independently of the compression algebra.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from etol_tpu.transcribe import collocation
 
