@@ -161,6 +161,14 @@ class SolverConfig:
                                 # cheap SOR-flavored acceleration of
                                 # the dual sequence (cf. ADMM's
                                 # relaxation parameter ~1.6-1.8)
+    ls_exponents: tuple = ()    # explicit line-search exponent grid
+                                # (alphas = 0.5^e); empty = the dense
+                                # 0..ls_grid-1 default. A sparse-tail
+                                # grid (dense near 1, log-spaced to
+                                # ~2^-22) keeps the RANGE the stiff
+                                # lanes need at ~half the candidates —
+                                # truncating the range (ls_grid=8/12)
+                                # is what collapses the solve rate
     ls_deep_round: int = 0      # treat an accepted step at alpha <=
                                 # 2^-this as stall evidence (a deep
                                 # micro-polish step means the direction
@@ -628,8 +636,13 @@ def _solve_single(
     Z0 = jnp.clip(z0.reshape(F.K, F.w), lb, ub)
 
     max_total = cfg.max_total or cfg.max_outer * cfg.max_inner
-    nls = max(min(cfg.ls_grid, len(_LS_EXPONENTS)), 1)
-    alphas = 0.5 ** jnp.asarray(_LS_EXPONENTS[:nls], dtype)
+    if cfg.ls_exponents:
+        exps_t = tuple(cfg.ls_exponents)
+    else:
+        exps_t = _LS_EXPONENTS[: max(min(cfg.ls_grid,
+                                         len(_LS_EXPONENTS)), 1)]
+    nls = len(exps_t)
+    alphas = 0.5 ** jnp.asarray(exps_t, dtype)
 
     cd0, ce0, g0 = F.residuals(Z0)
     cost0 = F.cost(Z0)
@@ -703,7 +716,7 @@ def _solve_single(
         # window is always in the wrong place — solved fraction
         # collapsed from 0.98 to < 0.01. The dense grid is ~1.3 ms of a
         # 7 ms iteration; not the lever.)
-        exps = jnp.asarray(_LS_EXPONENTS[:nls], dtype)
+        exps = jnp.asarray(exps_t, dtype)
         Zc = jnp.clip(Z[None] + alphas[:, None, None] * p[None], lb, ub)
         cdc, cec, gc = jax.vmap(F.residuals)(Zc)
         costc = jax.vmap(F.cost)(Zc)

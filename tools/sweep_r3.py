@@ -122,6 +122,12 @@ VARIANTS = dict(
               rho_growth=3.16, dual_relax=1.9),
     dr16rg2=dict(lm_rule="ratio", round_viol_patience=4, rho0=1000.0,
                  dual_relax=1.6),
+    sparse13=dict(lm_rule="ratio", round_viol_patience=4, rho0=1000.0,
+                  rho_growth=3.16,
+                  ls_exponents=(0, 1, 2, 3, 4, 5, 6, 7, 9, 11, 14, 18, 22)),
+    sparse10=dict(lm_rule="ratio", round_viol_patience=4, rho0=1000.0,
+                  rho_growth=3.16,
+                  ls_exponents=(0, 1, 2, 3, 4, 6, 8, 11, 15, 20)),
     rvp41krg25=dict(lm_rule="ratio", round_viol_patience=4, rho0=1000.0,
                     rho_growth=2.5),
     rvp31krg3=dict(lm_rule="ratio", round_viol_patience=3, rho0=1000.0,
