@@ -19,12 +19,12 @@ def _fmt(v: float) -> str:
     """Round-trip-accurate float formatting for saveConfigs.
 
     The reference writes ~6 significant digits via ``std::to_string``
-    (TrajectoryOptimizer.cpp:1119-1635); ``%.9g`` guarantees
-    ``float(_fmt(v)) == float(numpy.float32(v))`` for every f32 value
-    (and round-trips typical config literals like 0.005 or 0.125
-    exactly), so load(save(vgp)) == vgp for all float fields.
+    (TrajectoryOptimizer.cpp:1119-1635); ``repr`` is the shortest string
+    that round-trips the Python float (f64) exactly, so
+    load(save(vgp)) == vgp for all float fields — including values that
+    need more than 9 significant digits.
     """
-    return f"{v:.9g}"
+    return repr(float(v))
 
 
 def load_configs(path_or_string: Union[str, bytes], vgp: VGP = None) -> VGP:

@@ -1113,7 +1113,7 @@ def solve_batched_rescue(
     return jax.tree.map(merge, res1, res2)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 7))
 def solve_batched_staged(
     nlp: NLP,
     cfg: SolverConfig,
@@ -1122,6 +1122,7 @@ def solve_batched_staged(
     stages=((256, 1024), (64, 2048)),
     lam0=None,
     rho0: Optional[jax.Array] = None,
+    return_stage_trips: bool = False,
 ) -> SolveResult:
     """Compacted multi-phase batched solve.
 
@@ -1140,8 +1141,14 @@ def solve_batched_staged(
     Use :func:`solve_batched_rescue` when failures are basin problems
     (cold multistart); use this when they are budget problems (the
     measured common case).
+
+    ``return_stage_trips=True`` additionally returns a tuple of scalar
+    trip counts — the max executed Newton iterations of phase 1 and of
+    each compaction stage — for honest FLOP accounting (a vmapped
+    while_loop's wall cost is set by its deepest lane).
     """
     res = solve_batched.__wrapped__(nlp, cfg, data, z0, lam0, rho0)
+    stage_trips = [jnp.max(res.inner_iters)]
     for count, budget in stages:
         B = res.status.shape[0]
         M = min(count, B)
@@ -1154,6 +1161,7 @@ def solve_batched_staged(
         res_i = solve_batched.__wrapped__(
             nlp, cfg_i, sub, res.z[idx], lam_i, res.rho[idx]
         )
+        stage_trips.append(jnp.max(res_i.inner_iters))
         v_old = jnp.maximum(res.viol_eq[idx], res.viol_in[idx])
         v_new = jnp.maximum(res_i.viol_eq, res_i.viol_in)
         ok_old = ok[idx]
@@ -1167,6 +1175,8 @@ def solve_batched_staged(
             return a.at[idx].set(bsel)
 
         res = jax.tree.map(merge, res, res_i)
+    if return_stage_trips:
+        return res, tuple(stage_trips)
     return res
 
 

@@ -110,8 +110,10 @@ def nlp_config(
             hints["nsteps"] = int(val)
         elif key == "transcription_order":
             # Radau order-3 segments = the native radau scheme; higher
-            # orders are served by a denser mesh instead
-            hints["scheme"] = "radau"
+            # orders are served by a denser mesh instead. An explicit
+            # collocation_method in the same dict wins regardless of
+            # dict iteration order.
+            hints.setdefault("scheme", "radau")
             if int(val) > 3:
                 hints.setdefault("refine_levels", 2)
         elif key == "mu_init":

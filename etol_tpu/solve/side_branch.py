@@ -1,38 +1,63 @@
-"""Exact obstacle avoidance by disjunctive side branching.
+"""Exact disjunctions + integers: one unified branch-and-bound.
 
-The reference's MILP backends encode "stay out of each convex obstacle
-piece" with one binary per piece side and big-M rows: at least one side's
-halfplane must hold at every timestep (addObstacleSides/addObstacleSum,
-eGLPK.cpp:190-246; the example disjunctions,
-etol_glpk_example1.cpp:160-194, and the NSIDES=4 polygonal approximation
-of moving circles, :196-276). GLPK's branch-and-cut then resolves the
-disjunctions exactly — which is why the reference finds the true optimum
-12 on ``mip_2d_ex1`` where a smooth conservative reformulation (softmin
-containment + edge-ellipse bands, transcribe/obstacles.py) lands at ~14:
-the smoothing inflates the obstacles and closes the optimal corridor.
+The reference's MILP backends encode BOTH binary families in one model:
+"stay out of each convex obstacle piece" big-M rows (one binary per
+piece side, addObstacleSides/addObstacleSum, eGLPK.cpp:190-246; the
+example disjunctions, etol_glpk_example1.cpp:160-194, and the NSIDES=4
+polygonal approximation of moving circles, :196-276) AND per-window
+integer/binary decision variables (param vartypes, eGLPK.cpp:275-332).
+``glp_intopt``'s branch-and-cut then resolves the single model exactly,
+which is why the reference finds the true optimum 12 on ``mip_2d_ex1``
+where a smooth conservative reformulation (softmin containment +
+edge-ellipse bands, transcribe/obstacles.py) lands at ~14: the
+smoothing inflates the obstacles and closes the optimal corridor.
 
-This module restores exactness the TPU way: **branch on the escape
-side**. A relaxation node is a per-(timestep, piece) (and per-(timestep,
-track)) side assignment:
+This module restores that exactness the TPU way with ONE search whose
+node is a pair of overrides on the relaxation:
 
-* ``-1`` — the disjunction is DROPPED for that node pair (a valid
-  relaxation: removing constraints can only enlarge the feasible set);
-* ``m >= 0`` — halfspace row ``m`` of the piece (or square side ``m``
-  of the track) is enforced as a single LINEAR constraint
-  ``n_m . p >= b_m``.
+* a per-(timestep, piece/track) **side assignment** — ``-1`` means the
+  disjunction is DROPPED for that pair (a valid relaxation: removing
+  constraints only enlarges the feasible set); ``m >= 0`` enforces
+  halfspace row ``m`` of the piece (or square side ``m`` of the track)
+  as a single LINEAR row ``n_m . p >= b_m``;
+* a per-(timestep, column) **box override** — the classic spatial
+  branching ``<= floor`` / ``>= ceil`` split on INTEGER/BINARY columns
+  (cf. solve/branch_bound.py, the integer-only engine this composes
+  with).
 
-With every violated pair branched, the union of a pair's children
-(one per real side) covers exactly "outside the piece at that node" —
-the reference's Σb ≤ n−0.5 disjunction — so the search is exact. For the
-reference MILP class (linear dynamics, convex cost, linear user rows)
-every relaxation is CONVEX, its AL-SQP solution is a global optimum, and
-relaxation values are valid lower bounds: best-first search with bound
-pruning terminates with the true optimum (cf. solve/branch_bound.py for
-the integer-variable analog and the same exactness caveat).
+With every violated pair branched the union of a pair's children covers
+exactly "outside the piece at that node" (the reference's Σb ≤ n−0.5
+disjunction), and with every fractional integer column branched the box
+tree covers the integer lattice — so the combined search is exact. For
+the reference MILP class (linear dynamics, convex cost, linear user
+rows) every relaxation is CONVEX, its converged AL-SQP solution is a
+global optimum, and relaxation values are valid lower bounds:
+best-first search with bound pruning terminates at the true optimum.
 
-Side assignments ride as DATA (``SideData`` pytree) — one compiled
-relaxation program serves every branch-and-bound node, and a frontier
-wave of W nodes is a single vmapped solve of shape [W, nz].
+Soundness of pruning (advisor r3): a node is discarded ONLY with a
+certificate —
+
+* ``SOLVED`` (converged, feasible): its value prunes by bound;
+* **stagnation**: a node that exhausted its budget with violation that
+  a warm full-budget retry failed to halve is pruned as infeasible in
+  the convex case (AL with growing rho drives the violation of any
+  feasible convex relaxation down; two budgets of stagnation is the
+  same epistemic grade as the f32 convergence certificate the bounds
+  rest on);
+* plain ``MAX_ITER`` (budget exhaustion) is NOT a certificate: the node
+  is re-queued warm (carried z, multipliers, penalty) with a fresh
+  budget, up to ``max_retries`` times. A node dropped with no
+  certificate (divergence, or retries exhausted while still improving)
+  flips ``certified=False`` and the final status is downgraded to
+  ``MAX_ITER`` — the search never claims a certified optimum over a
+  tree it silently truncated.
+
+Side assignments and boxes ride as DATA (``SideData`` pytree + box
+arrays) — one compiled relaxation program serves every node of every
+tree for a given (wave, Dims), and a frontier wave of W nodes is a
+single vmapped solve of shape [W, nz]. Per-node multipliers/penalty are
+carried host-side and re-enter the wave as warm starts: children
+typically converge in a fraction of the root's iterations.
 
 Moving obstacles use the reference's 4-sided square approximation: the
 axis-aligned square of half-width r CONTAINS the protected disk, so
@@ -46,6 +71,7 @@ import dataclasses
 import functools
 import heapq
 import itertools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -81,8 +107,12 @@ class SideData:
 _TRACK_SIDES = 4
 
 
-def _side_constraints(x, u, t, data):
+def _side_constraints(x, u, t, data, p=None):
     """Side-assigned linear avoidance rows, <= 0 feasible.
+
+    ``p`` (unused) keeps the param-problem callback ABI: when params
+    are declared every user callback receives the trailing param slice
+    (transcribe/nlp.py:105-111).
 
     Replaces the smooth obstacle stack when branching: for each piece
     with an assigned side m, require n_m . p >= b_m (outside through
@@ -90,33 +120,42 @@ def _side_constraints(x, u, t, data):
     Dropped pairs report -1 (feasible)."""
     k = jnp.round(t / data.dt).astype(jnp.int32)
     p = x[:2]
+    parts = []
     obs = data.obstacles
-    hs = obs.halfspaces  # [P, H, 3]
-    margins = hs[..., 2] - (hs[..., 0] * p[0] + hs[..., 1] * p[1])
-    selp = data.sel_piece[k]  # [P]
-    chosen = jnp.take_along_axis(
-        margins, jnp.clip(selp, 0, hs.shape[1] - 1)[:, None], axis=1
-    )[:, 0]
-    gp = jnp.where((selp >= 0) & (obs.piece_mask > 0), chosen, -1.0)
+    if obs.halfspaces.shape[0] > 0:
+        hs = obs.halfspaces  # [P, H, 3]
+        margins = hs[..., 2] - (hs[..., 0] * p[0] + hs[..., 1] * p[1])
+        selp = data.sel_piece[k]  # [P]
+        chosen = jnp.take_along_axis(
+            margins, jnp.clip(selp, 0, hs.shape[1] - 1)[:, None], axis=1
+        )[:, 0]
+        parts.append(
+            jnp.where((selp >= 0) & (obs.piece_mask > 0), chosen, -1.0)
+        )
 
     trk = data.tracks
     T = trk.xy.shape[0]
-    cs = jnp.stack(
-        [
-            linear_interpolation(t, trk.times[i], trk.xy[i])
-            for i in range(T)
-        ]
-    )  # [T, D]
-    d = p[None, :] - cs[:, :2]
-    sides = jnp.stack([d[:, 0], -d[:, 0], d[:, 1], -d[:, 1]], axis=1)
-    selt = data.sel_track[k]  # [T]
-    chosen_t = jnp.take_along_axis(
-        sides, jnp.clip(selt, 0, _TRACK_SIDES - 1)[:, None], axis=1
-    )[:, 0]
-    gt = jnp.where(
-        (selt >= 0) & (trk.mask > 0), trk.radius - chosen_t, -1.0
-    )
-    return jnp.concatenate([gp, gt])
+    if T > 0:
+        cs = jnp.stack(
+            [
+                linear_interpolation(t, trk.times[i], trk.xy[i])
+                for i in range(T)
+            ]
+        )  # [T, D]
+        d = p[None, :] - cs[:, :2]
+        sides = jnp.stack([d[:, 0], -d[:, 0], d[:, 1], -d[:, 1]], axis=1)
+        selt = data.sel_track[k]  # [T]
+        chosen_t = jnp.take_along_axis(
+            sides, jnp.clip(selt, 0, _TRACK_SIDES - 1)[:, None], axis=1
+        )[:, 0]
+        parts.append(
+            jnp.where(
+                (selt >= 0) & (trk.mask > 0), trk.radius - chosen_t, -1.0
+            )
+        )
+    if not parts:
+        return jnp.zeros((0,), x.dtype)
+    return jnp.concatenate(parts)
 
 
 def branch_nlp(nlp: NLP) -> NLP:
@@ -136,26 +175,33 @@ def _violations(Z2, hs, hs_mask, piece_mask, centers, radius, tmask,
     A pair already carrying a side assignment is enforced by the solver,
     so only ``sel == -1`` pairs can violate."""
     K = Z2.shape[0]
-    # piece containment depth: min over real halfspace margins (>0 deep
-    # inside); [K, P]
-    marg = hs[None, :, :, 2] - (
-        hs[None, :, :, 0] * Z2[:, None, None, 0]
-        + hs[None, :, :, 1] * Z2[:, None, None, 1]
-    )
-    marg = np.where(hs_mask[None] > 0, marg, np.inf)
-    depth_p = marg.min(axis=2)  # [K, P]
-    depth_p = np.where(
-        (piece_mask[None] > 0) & (selp < 0), depth_p, -np.inf
-    )
-    # track square containment depth: r - max(|dx|, |dy|) (>0 inside)
-    d = np.abs(Z2[:, None, :2] - centers[:, :, :2])  # [K, T, 2]
-    depth_t = radius[None, :] - d.max(axis=2)
-    depth_t = np.where(
-        (tmask[None] > 0) & (selt < 0), depth_t, -np.inf
-    )
-    bp = np.unravel_index(np.argmax(depth_p), depth_p.shape)
-    bt = np.unravel_index(np.argmax(depth_t), depth_t.shape)
-    vp, vt = depth_p[bp], depth_t[bt]
+    if hs.shape[0] > 0:
+        # piece containment depth: min over real halfspace margins (>0
+        # deep inside); [K, P]
+        marg = hs[None, :, :, 2] - (
+            hs[None, :, :, 0] * Z2[:, None, None, 0]
+            + hs[None, :, :, 1] * Z2[:, None, None, 1]
+        )
+        marg = np.where(hs_mask[None] > 0, marg, np.inf)
+        depth_p = marg.min(axis=2)  # [K, P]
+        depth_p = np.where(
+            (piece_mask[None] > 0) & (selp < 0), depth_p, -np.inf
+        )
+        bp = np.unravel_index(np.argmax(depth_p), depth_p.shape)
+        vp = depth_p[bp]
+    else:
+        bp, vp = (0, 0), -np.inf
+    if centers.shape[1] > 0:
+        # track square containment depth: r - max(|dx|,|dy|) (>0 inside)
+        d = np.abs(Z2[:, None, :2] - centers[:, :, :2])  # [K, T, 2]
+        depth_t = radius[None, :] - d.max(axis=2)
+        depth_t = np.where(
+            (tmask[None] > 0) & (selt < 0), depth_t, -np.inf
+        )
+        bt = np.unravel_index(np.argmax(depth_t), depth_t.shape)
+        vt = depth_t[bt]
+    else:
+        bt, vt = (0, 0), -np.inf
     if max(vp, vt) <= eps:
         return (0, 0, 0, 0.0)
     if vp >= vt:
@@ -163,40 +209,67 @@ def _violations(Z2, hs, hs_mask, piece_mask, centers, radius, tmask,
     return (2, int(bt[0]), int(bt[1]), float(vt))
 
 
+@dataclasses.dataclass
+class _Node:
+    """One open node: relaxation overrides + warm-start payload."""
+
+    bound: float            # valid lower bound inherited/certified
+    selp: np.ndarray        # [K, P] int8
+    selt: np.ndarray        # [K, T] int8
+    lo: np.ndarray          # [K, w] box override (integer branching)
+    hi: np.ndarray
+    z0: np.ndarray          # [nz] warm start
+    lam: tuple              # (lam_def, lam_eq, mu) warm multipliers
+    rho: Optional[float]    # warm penalty (None = cfg.rho0)
+    retries: int = 0
+    prev_viol: float = np.inf
+
+
 def solve_exact(
     nlp: NLP,
     cfg: SolverConfig,
     data: VGPData,
     *,
-    wave: int = 16,
+    int_cols: Optional[np.ndarray] = None,
+    wave: int = 8,
     max_nodes: int = 512,
     gap_tol: float = 1e-3,
+    int_tol: float = 1e-3,
     inside_eps: float = 1e-3,
     convex_relaxation: bool = True,
+    max_retries: int = 3,
+    node_budget: int = 0,
     verbose: bool = False,
 ) -> MIPResult:
-    """Branch-and-bound over obstacle escape sides (exact big-M parity).
+    """Unified branch-and-bound over escape sides AND integer boxes.
 
     ``nlp`` is the problem's ordinary NLP (its smooth obstacle stack is
     replaced by the side machinery); ``data`` a single (unbatched)
-    VGPData. ``convex_relaxation=True`` (valid for the reference MILP
-    class: linear dynamics + convex cost + linear user rows) enables
-    bound pruning and a true optimality gap.
+    VGPData; ``int_cols`` the optional [node_width] bool mask from
+    :func:`branch_bound.integer_mask` — a VGP with BINARY/INTEGER
+    params AND obstacles is solved exactly in this one search (parity:
+    one GLPK model holds both binary families,
+    etol_glpk_example1.cpp:160-276). ``convex_relaxation=True`` (valid
+    for the reference MILP class: linear dynamics + convex cost +
+    linear user rows) enables bound pruning and a true optimality gap.
+
+    ``node_budget`` caps Newton iterations per node ATTEMPT (0 = the
+    cfg's own budget); hard nodes earn more via warm re-queues (up to
+    ``max_retries``) instead of every node paying the worst case.
     """
     d = nlp.dims
-    K = d.nodes
+    K, w = d.nodes, d.node_width
     bnlp = branch_nlp(nlp)
-    lam0 = init_multipliers(
-        bnlp,
-        SideData(
-            data,
-            jnp.full((K, data.obstacles.halfspaces.shape[0]), -1,
-                     jnp.int32),
-            jnp.full((K, data.tracks.xy.shape[0]), -1, jnp.int32),
-        ),
-    )
+    if node_budget:
+        cfg = dataclasses.replace(cfg, max_total=node_budget)
     P = data.obstacles.halfspaces.shape[0]
     T = data.tracks.xy.shape[0]
+    root_sd = SideData(
+        data,
+        jnp.full((K, P), -1, jnp.int32),
+        jnp.full((K, T), -1, jnp.int32),
+    )
+    lam_cold = jax.tree.map(np.asarray, init_multipliers(bnlp, root_sd))
     hs = np.asarray(data.obstacles.halfspaces)
     hs_mask = np.asarray(data.obstacles.hs_mask)
     piece_mask = np.asarray(data.obstacles.piece_mask)
@@ -217,50 +290,98 @@ def solve_exact(
                     )
                     for i in range(T)
                 ]
-            )
+            ) if T else np.zeros((0, 2))
             for t in ts
         ]
     )  # [K, T, D]
+
+    dtype = np.float32 if data.x0.dtype == jnp.float32 else np.float64
+    BIG = np.asarray(np.finfo(dtype).max / 4, dtype)
+    root_lo = np.full((K, w), -BIG, dtype)
+    root_hi = np.full((K, w), +BIG, dtype)
+    if int_cols is not None:
+        int_cols = np.asarray(int_cols, dtype=bool)
+        cols = np.where(int_cols)[0]
+    else:
+        cols = np.zeros((0,), int)
+    # integrality is only decidable for entries the box can still move;
+    # entries pinned by the NLP bounds (x0 clamp, window pins) are exempt
+    lbN, ubN = jax.jit(bnlp.bounds, static_argnums=())(root_sd)
+    lbN = np.asarray(lbN).reshape(K, w)
+    ubN = np.asarray(ubN).reshape(K, w)
+    pinned = (ubN - lbN) <= 1e-12
 
     sign = -1.0 if nlp.maximize else 1.0
     z_guess = np.asarray(jax.jit(nlp.initial_guess)(data))
     feas_tol = 10.0 * cfg.tol_cons
 
+    def frac_parts(Z):
+        """[K, w] distance to nearest integer on integer columns."""
+        if cols.size == 0:
+            return np.zeros_like(Z)
+        fr = np.abs(Z - np.round(Z))
+        out = np.zeros_like(Z)
+        out[:, cols] = fr[:, cols]
+        out[pinned] = 0.0
+        return out
+
     def solve_wave(batch):
         W = len(batch)
         pad = wave - W
-        selp = np.stack(
-            [b[1] for b in batch] + [batch[0][1]] * pad
-        ).astype(np.int32)
-        selt = np.stack(
-            [b[2] for b in batch] + [batch[0][2]] * pad
-        ).astype(np.int32)
-        z0s = np.stack(
-            [b[3] for b in batch] + [batch[0][3]] * pad
-        )
+
+        def stk(get):
+            return np.stack([get(n) for n in batch]
+                            + [get(batch[0])] * pad)
+
         sdata = SideData(
             jax.tree.map(
                 lambda a: jnp.broadcast_to(a, (wave,) + a.shape), data
             ),
-            jnp.asarray(selp),
-            jnp.asarray(selt),
+            jnp.asarray(stk(lambda n: n.selp).astype(np.int32)),
+            jnp.asarray(stk(lambda n: n.selt).astype(np.int32)),
         )
-        res = _wave_jit(bnlp, cfg, sdata, jnp.asarray(z0s), lam0)
-        return res
+        lams = tuple(
+            jnp.asarray(stk(lambda n, i=i: n.lam[i])) for i in range(3)
+        )
+        rhos = jnp.asarray(
+            np.array(
+                [n.rho if n.rho is not None else cfg.rho0
+                 for n in batch]
+                + [cfg.rho0] * pad, dtype,
+            )
+        )
+        return _wave_jit(
+            bnlp, cfg, sdata,
+            jnp.asarray(stk(lambda n: n.lo)),
+            jnp.asarray(stk(lambda n: n.hi)),
+            jnp.asarray(stk(lambda n: n.z0)),
+            lams, rhos,
+        )
 
     tie = itertools.count()
-    root = (
-        -np.inf,
-        np.full((K, P), -1, np.int8),
-        np.full((K, T), -1, np.int8),
-        z_guess,
+    root = _Node(
+        bound=-np.inf,
+        selp=np.full((K, P), -1, np.int8),
+        selt=np.full((K, T), -1, np.int8),
+        lo=root_lo, hi=root_hi,
+        z0=z_guess, lam=lam_cold, rho=None,
     )
     heap = [(-np.inf, next(tie), root)]
-    seen = {root[1].tobytes() + root[2].tobytes()}
+
+    def key_of(n):
+        return (n.selp.tobytes() + n.selt.tobytes()
+                + n.lo.tobytes() + n.hi.tobytes())
+
+    seen = {key_of(root)}
     incumbent_z = None
     incumbent_obj = np.inf
     nodes_solved = 0
     waves = 0
+    certified = True
+
+    def requeue(node, **updates):
+        nn = dataclasses.replace(node, **updates)
+        heapq.heappush(heap, (nn.bound, next(tie), nn))
 
     while heap and nodes_solved < max_nodes:
         batch = []
@@ -281,22 +402,62 @@ def solve_exact(
         waves += 1
         nodes_solved += len(batch)
 
-        for i, (_, selp, selt, _) in enumerate(batch):
-            if stat[i] == int(Status.DIVERGED) or not np.isfinite(
-                objs[i]
+        for i, node in enumerate(batch):
+            st, v = int(stat[i]), float(viol[i])
+            lam_i = (
+                np.asarray(res.lam_def[i]),
+                np.asarray(res.lam_eq[i]),
+                np.asarray(res.mu[i]),
+            )
+            if st == int(Status.DIVERGED) or not np.isfinite(objs[i]):
+                if node.retries < max_retries:
+                    # cold restart: divergence poisons the warm state
+                    requeue(node, z0=z_guess, lam=lam_cold, rho=None,
+                            retries=node.retries + 1)
+                else:
+                    certified = False
+                continue
+            solved = st == int(Status.SOLVED)
+            if not solved:
+                # MAX_ITER: budget exhaustion is NOT a certificate.
+                if node.retries < max_retries:
+                    requeue(
+                        node, z0=zs[i].copy(), lam=lam_i,
+                        rho=float(np.asarray(res.rho[i])),
+                        retries=node.retries + 1, prev_viol=v,
+                    )
+                    continue
+                if v > feas_tol:
+                    # stagnation certificate: a warm full-budget retry
+                    # failed to halve the violation of a (convex)
+                    # relaxation -> infeasible
+                    if convex_relaxation and v >= 0.5 * node.prev_viol:
+                        continue
+                    certified = False
+                    continue
+                # feasible but unconverged: its value bounds nothing;
+                # branch on with the INHERITED bound
+            elif v > feas_tol:
+                continue  # converged infeasible: certified prune
+            if v > feas_tol:
+                # (unconverged, still improving, retries exhausted)
+                certified = False
+                continue
+            relax_obj = sign * float(objs[i])
+            child_bound = relax_obj if solved else node.bound
+            if (
+                convex_relaxation and solved
+                and relax_obj >= incumbent_obj - gap_tol
             ):
                 continue
-            if viol[i] > feas_tol:
-                continue  # relaxation infeasible -> prune subtree
-            relax_obj = sign * float(objs[i])
-            if convex_relaxation and relax_obj >= incumbent_obj - gap_tol:
-                continue
-            Z2 = zs[i].reshape(K, -1)[:, :2]
+            Z = zs[i].reshape(K, w)
             kind, k, j, depth = _violations(
-                Z2, hs, hs_mask, piece_mask, centers, radius, tmask,
-                selp, selt, inside_eps,
+                Z[:, :2], hs, hs_mask, piece_mask, centers, radius,
+                tmask, node.selp, node.selt, inside_eps,
             )
-            if kind == 0:
+            fr = frac_parts(Z)
+            if kind == 0 and fr.max() <= int_tol:
+                # feasible against the EXACT disjunctions + integral
                 if relax_obj < incumbent_obj:
                     incumbent_obj = relax_obj
                     incumbent_z = zs[i].copy()
@@ -307,23 +468,65 @@ def solve_exact(
                             f"{nodes_solved} nodes"
                         )
                 continue
-            n_children = (
-                n_sides[j] if kind == 1 else _TRACK_SIDES
-            )
-            for m in range(n_children):
-                cp, ct = selp.copy(), selt.copy()
-                if kind == 1:
-                    cp[k, j] = m
-                else:
-                    ct[k, j] = m
-                key = cp.tobytes() + ct.tobytes()
+            children = []
+            if kind != 0:
+                n_children = (
+                    n_sides[j] if kind == 1 else _TRACK_SIDES
+                )
+                for m in range(n_children):
+                    cp, ct = node.selp.copy(), node.selt.copy()
+                    if kind == 1:
+                        cp[k, j] = m
+                    else:
+                        ct[k, j] = m
+                    children.append(dict(selp=cp, selt=ct))
+            else:
+                # integer branch on the most fractional entry
+                t_i, j_i = np.unravel_index(np.argmax(fr), fr.shape)
+                val = Z[t_i, j_i]
+                for which in ("floor", "ceil"):
+                    clo, chi = node.lo.copy(), node.hi.copy()
+                    if which == "floor":
+                        chi[t_i, j_i] = min(
+                            chi[t_i, j_i], np.floor(val)
+                        )
+                    else:
+                        clo[t_i, j_i] = max(clo[t_i, j_i], np.ceil(val))
+                    if (
+                        max(clo[t_i, j_i], lbN[t_i, j_i])
+                        > min(chi[t_i, j_i], ubN[t_i, j_i]) + 1e-9
+                    ):
+                        continue  # empty child
+                    children.append(dict(lo=clo, hi=chi))
+                if incumbent_z is None and cols.size:
+                    # dive child: round-and-fix EVERY movable integer
+                    # entry of this node's relaxation to hunt an early
+                    # incumbent (best-first alone reaches integrality
+                    # late when many columns are fractional)
+                    r = np.round(
+                        np.clip(Z, np.maximum(node.lo, lbN),
+                                np.minimum(node.hi, ubN))
+                    )
+                    dlo, dhi = node.lo.copy(), node.hi.copy()
+                    free = ~pinned
+                    fc = np.zeros_like(free)
+                    fc[:, cols] = True
+                    sel = free & fc
+                    dlo[sel] = np.maximum(dlo[sel], r[sel])
+                    dhi[sel] = np.minimum(dhi[sel], r[sel])
+                    if np.all(dlo[sel] <= dhi[sel] + 1e-9):
+                        children.append(dict(lo=dlo, hi=dhi))
+            for ch in children:
+                nn = dataclasses.replace(
+                    node, bound=child_bound, z0=zs[i].copy(),
+                    lam=lam_i, rho=float(np.asarray(res.rho[i])),
+                    retries=0, prev_viol=np.inf, **ch,
+                )
+                key = key_of(nn)
                 if key in seen:
                     continue
                 seen.add(key)
-                heapq.heappush(
-                    heap,
-                    (relax_obj, next(tie), (relax_obj, cp, ct, zs[i])),
-                )
+                heapq.heappush(heap, (child_bound, next(tie), nn))
 
     best_bound = min(
         [b for b, *_ in heap] + [incumbent_obj]
@@ -339,15 +542,16 @@ def solve_exact(
             nodes_solved=nodes_solved,
             waves=waves,
             incumbent_found=False,
+            certified=certified,
         )
     if convex_relaxation:
         gap = abs(incumbent_obj - best_bound) / max(
             1.0, abs(incumbent_obj)
         )
-        closed = (not heap) or gap <= gap_tol
+        closed = ((not heap) or gap <= gap_tol) and certified
     else:
-        gap = 0.0 if not heap else float("nan")
-        closed = not heap
+        gap = 0.0 if (not heap and certified) else float("nan")
+        closed = (not heap) and certified
     return MIPResult(
         z=incumbent_z,
         obj=sign * incumbent_obj,
@@ -357,12 +561,16 @@ def solve_exact(
         nodes_solved=nodes_solved,
         waves=waves,
         incumbent_found=True,
+        certified=certified,
     )
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def _wave_jit(bnlp: NLP, cfg: SolverConfig, sdata: SideData, z0s, lam0):
-    def one(sd, z0):
-        return _solve_single(bnlp, cfg, sd, z0, lam0)
+def _wave_jit(bnlp: NLP, cfg: SolverConfig, sdata: SideData,
+              lo, hi, z0s, lams, rhos):
+    def one(sd, blo, bhi, z0, ld, le, mu, rho):
+        return _solve_single(
+            bnlp, cfg, sd, z0, (ld, le, mu), rho, (blo, bhi)
+        )
 
-    return jax.vmap(one)(sdata, z0s)
+    return jax.vmap(one)(sdata, lo, hi, z0s, *lams, rhos)
