@@ -41,8 +41,9 @@ _WORKER = textwrap.dedent(
     from etol_tpu.models import double_integrator_2d
     from etol_tpu.solve import SolverConfig, al_sqp
 
-    vgp, nlp = double_integrator_2d()  # default 20x0.25s horizon
-    nlp = dataclasses.replace(nlp, use_obstacles=False)
+    # default 20x0.25s horizon WITH its obstacle (VERDICT r3 weak #2:
+    # the multi-host path must carry the obstacle workload end to end)
+    vgp, nlp = double_integrator_2d()
     data, dims = vgp.to_device()
     B = 8
     lb, off = distributed.process_local_batch(B)
