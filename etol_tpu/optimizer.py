@@ -136,12 +136,16 @@ class TrajectoryOptimizer:
 
     def set_planner(self, name: str) -> None:
         """eOMPL setPlanner parity (eOMPL.cpp:132): choose the sampling
-        planner {RRT, SST, EST, KPIECE, PDST} used by :meth:`plan`."""
-        from .solve import PLANNERS
+        planner {RRT, SST, EST, KPIECE, PDST} used by :meth:`plan` —
+        each with its genuine selection/pruning mechanism (SST witness
+        pruning, PDST subdivision priorities; solve/planners.py). The
+        extra non-OMPL names {CEM, SHOOTING} are also accepted."""
+        from .solve.planners import EXTRA_PLANNERS, PLANNERS
 
-        if name.strip().upper() not in PLANNERS:
+        if name.strip().upper() not in PLANNERS + EXTRA_PLANNERS:
             raise ValueError(
-                f"unknown planner {name!r}; choose from {PLANNERS}"
+                f"unknown planner {name!r}; choose from "
+                f"{PLANNERS + EXTRA_PLANNERS}"
             )
         self._planner = name.strip().upper()
 
@@ -291,8 +295,9 @@ class TrajectoryOptimizer:
     ) -> SolveResult:
         """Sampling-based solve — the eOMPL backend's role
         (eOMPL.cpp:161-173): run the planner chosen by
-        :meth:`set_planner` (default PDST shooting), pack the best
-        rollout as a result. Status is SOLVED when the rollout reaches
+        :meth:`set_planner` (default SHOOTING, the strongest NLP seed),
+        pack the best rollout as a result. Status is SOLVED when the
+        rollout reaches
         the goal band collision-free, MAX_ITER otherwise (the planner's
         "approximate solution" outcome)."""
         if self.nlp is None:
@@ -301,7 +306,7 @@ class TrajectoryOptimizer:
 
         t0 = time.time()
         X, U, info = planners.plan(
-            getattr(self, "_planner", "PDST"),
+            getattr(self, "_planner", "SHOOTING"),
             self.nlp.dynamics,
             self.dims.nsteps,
             self.data,

@@ -3,25 +3,34 @@
 The reference's eOMPL backend selects a kinodynamic planner by name
 {RRT, SST, EST, KPIECE, PDST} (eOMPL.cpp:121-159) and grows ONE tree,
 one propagation at a time, with a ray-cast validity checker.  A TPU
-re-think keeps the planner *names* (and their exploration biases) but
-replaces serial tree growth with fixed-shape batched programs:
+re-think keeps each planner's *defining mechanism* but replaces serial
+tree growth with ONE fixed-shape batched tree program (``batch``
+extensions per compiled step):
 
 ========  =============================================================
-name      algorithm here
+name      selection / pruning mechanism here (all on the same tree)
 ========  =============================================================
-PDST      pure batched random shooting (density-guided shooting in
-          OMPL; here: thousands of smooth random-walk control
-          sequences scored at once — :func:`etol_tpu.solve.shooting.plan`)
-SST       iterative *selective* refinement: cross-entropy method over
-          control sequences (rounds of sample → keep sparse elite set →
-          refit, the batched analog of SST's prune-dominated-witnesses
-          loop)
-RRT       batched kinodynamic tree, Voronoi-biased parent selection
-          (nearest node to a random target state)
-EST       same tree, parents sampled inversely to local node density
-KPIECE    same tree, parents sampled inversely to coverage-grid cell
-          occupancy (coarse (x, y) grid)
+RRT       Voronoi bias: parent = nearest node to a random target state
+EST       low-density bias: parent ~ 1 / (1 + #neighbors in a ball)
+KPIECE    coverage bias: parent ~ 1 / (1 + its (x, y)-cell count)
+SST       BestNear selection (cheapest cost-from-root node within a
+          radius of the random target) + **witness pruning**: each
+          coverage cell is a quantized witness keeping only its
+          locally-cheapest node; dominated nodes are deactivated and
+          never extended — the sparse, asymptotically-near-optimal
+          mechanism of Li/Littlefield/Bekris SST
+PDST      **deterministic subdivision priorities**: every nonempty
+          cell carries a priority (init 1); each step extends from the
+          lowest-priority cells and DOUBLES their priority — dense
+          regions are revisited geometrically less often, yet every
+          region is revisited infinitely often (Ladd–Kavraki PDST's
+          selection rule, on the fixed grid as the subdivision)
 ========  =============================================================
+
+Two extra names outside the OMPL registry: ``CEM`` (cross-entropy
+refinement over whole control sequences) and ``SHOOTING``
+(:func:`etol_tpu.solve.shooting.plan`, pure batched random shooting) —
+often the best NLP seeds, kept under their honest names.
 
 All planners return ``(X [K, nx], U_nodes [K, nu], info)`` exactly like
 :func:`shooting.plan`, so any of them can seed the AL-SQP
@@ -40,6 +49,7 @@ from ..core.problem import VGPData
 from . import shooting
 
 PLANNERS = ("RRT", "SST", "EST", "KPIECE", "PDST")
+EXTRA_PLANNERS = ("CEM", "SHOOTING")
 
 
 def plan(
@@ -52,19 +62,23 @@ def plan(
     **kw,
 ):
     """Dispatch by planner name (case-insensitive), eOMPL setPlanner
-    parity (eOMPL.cpp:121-159)."""
+    parity (eOMPL.cpp:121-159); the two extra non-OMPL names are
+    documented in the module header."""
     name = name.strip().upper()
     if key is None:
         key = jax.random.PRNGKey(0)
-    if name == "PDST":
+    if name == "SHOOTING":
         return shooting.plan(dynamics, nsteps, data, n_samples, key, **kw)
-    if name == "SST":
+    if name == "CEM":
         return _plan_cem(dynamics, nsteps, data, n_samples, key, **kw)
-    if name in ("RRT", "EST", "KPIECE"):
+    if name in PLANNERS:
         return _plan_tree(
             dynamics, nsteps, data, n_samples, key, select=name, **kw
         )
-    raise ValueError(f"unknown planner {name!r}; choose from {PLANNERS}")
+    raise ValueError(
+        f"unknown planner {name!r}; choose from "
+        f"{PLANNERS + EXTRA_PLANNERS}"
+    )
 
 
 def plan_guess(
@@ -83,7 +97,7 @@ def plan_guess(
 
 
 # ---------------------------------------------------------------------------
-# SST analog: cross-entropy refinement over control sequences
+# CEM: cross-entropy refinement over control sequences (extra planner)
 # ---------------------------------------------------------------------------
 
 
@@ -121,8 +135,8 @@ def _plan_cem(
     effort_weight: float = 0.1,
 ):
     """Cross-entropy method: iteratively refit a per-step Gaussian over
-    control sequences to the elite set — the batched analog of SST's
-    keep-the-sparse-best loop."""
+    control sequences to the elite set. Not an OMPL planner — kept
+    under its own name because it is often the strongest NLP seed."""
     nu = data.u_lb.shape[0]
     dt = data.dt
     span = data.u_ub - data.u_lb
@@ -168,7 +182,7 @@ def _plan_cem(
 
 
 # ---------------------------------------------------------------------------
-# batched kinodynamic tree (RRT / EST / KPIECE selection policies)
+# batched kinodynamic tree (RRT / EST / KPIECE / SST / PDST policies)
 # ---------------------------------------------------------------------------
 
 
@@ -193,12 +207,21 @@ def _plan_tree(
 ):
     """Fixed-shape kinodynamic tree: capacity ``n_samples`` nodes, grown
     ``batch`` extensions at a time (each a short constant-control
-    propagation, eOMPL's ODEBasicSolver analog).  ``select`` is the
-    OMPL-style exploration bias:
+    propagation, eOMPL's ODEBasicSolver analog).  ``select`` picks the
+    planner's defining selection/pruning mechanism:
 
     * RRT    — Voronoi bias: parent = nearest node to a random target
     * EST    — low-density bias: parent ~ 1 / (1 + #neighbors)
     * KPIECE — coverage bias: parent ~ 1 / (1 + its (x,y)-cell count)
+    * SST    — BestNear: parent = cheapest (cost-from-root) node within
+      a selection radius of the random target, nearest as fallback;
+      plus witness pruning — each coverage cell keeps only its cheapest
+      node, dominated nodes are deactivated (never extended again), the
+      defining sparse/near-optimal mechanism of SST
+    * PDST   — deterministic subdivision priorities: extend from the
+      lowest-priority nonempty cells and double their priority (the
+      Ladd–Kavraki selection schedule on the fixed grid; dense regions
+      revisit geometrically less often, every region infinitely often)
 
     Every node stores its control *prefix* (zero-padded), so the best
     node replays as a full-horizon rollout; incomplete branches are
@@ -211,16 +234,27 @@ def _plan_tree(
     M = n_samples
     batch = min(batch, max(M // 2, 1))
     n_iters = max((M - 1) // batch, 1)
+    G2 = grid * grid
 
     # node storage
     states0 = jnp.zeros((M, nx), dtype).at[0].set(data.x0)
     depth0 = jnp.zeros((M,), jnp.int32)
     ctrl0 = jnp.zeros((M, nsteps, nu), dtype)
     alive0 = jnp.zeros((M,), bool).at[0].set(True)
+    cost0 = jnp.zeros((M,), dtype)
+    # SST witness grid: per-cell cheapest cost + its node ("champion")
+    wit_cost0 = jnp.full((G2,), jnp.inf, dtype)
+    wit_node0 = jnp.full((G2,), -1, jnp.int32)
+    # PDST subdivision priorities (deterministic, init 1)
+    prio0 = jnp.ones((G2,), dtype)
+    pruned0 = jnp.zeros((), jnp.int32)
 
     span = data.x_ub - data.x_lb
     # density/coverage radius ~ a couple of grid cells
     r_nbr = 0.1 * jnp.sqrt(jnp.sum(span * span))
+    # SST BestNear selection radius (delta_BN); the witness radius
+    # delta_s is the grid cell size by quantization
+    r_bn = 0.15 * jnp.sqrt(jnp.sum(span * span))
 
     def cell_of(x):
         f = jnp.clip((x[:2] - data.x_lb[:2]) / span[:2], 0.0, 1.0 - 1e-6)
@@ -228,12 +262,13 @@ def _plan_tree(
         return ij[0] * grid + ij[1]
 
     def grow(carry, k):
-        states, depth, ctrl, alive = carry
+        (states, depth, ctrl, alive, cost, wit_cost, wit_node, prio,
+         pruned, n_written) = carry
         kt, kp, ku, ke = jax.random.split(k, 4)
         can_grow = alive & (depth < nsteps)
 
         # --- parent choice, one per extension lane ---------------------
-        if select == "RRT":
+        if select in ("RRT", "SST"):
             tgt = jax.random.uniform(
                 kt, (batch, nx), dtype, data.x_lb, data.x_ub
             )
@@ -245,7 +280,44 @@ def _plan_tree(
                 (states[None, :, :] - tgt[:, None, :]) ** 2, axis=-1
             )
             d2 = jnp.where(can_grow[None, :], d2, jnp.inf)
-            parents = jnp.argmin(d2, axis=1)
+            if select == "SST":
+                # BestNear: cheapest node within delta_BN of the
+                # target; nearest node when the ball is empty
+                near = d2 <= r_bn**2
+                cnear = jnp.where(near, cost[None, :], jnp.inf)
+                best_near = jnp.argmin(cnear, axis=1)
+                has_near = jnp.any(near, axis=1)
+                parents = jnp.where(
+                    has_near, best_near, jnp.argmin(d2, axis=1)
+                )
+            else:
+                parents = jnp.argmin(d2, axis=1)
+        elif select == "PDST":
+            # deterministic: the `batch` lowest-priority nonempty cells
+            cells = jax.vmap(cell_of)(states)
+            counts = jnp.zeros((G2,), jnp.int32).at[cells].add(
+                can_grow.astype(jnp.int32)
+            )
+            prio_eff = jnp.where(counts > 0, prio, jnp.inf)
+            neg_p, cell_pick = jax.lax.top_k(-prio_eff, batch)
+            lane_ok = jnp.isfinite(neg_p)
+            # parent = uniform random alive node inside the lane's cell
+            in_cell = can_grow[None, :] & (
+                cells[None, :] == cell_pick[:, None]
+            )
+            logw = jnp.where(in_cell, 0.0, -jnp.inf)
+            cat = jax.random.categorical(kt, logw, axis=1)
+            dg = jnp.sum((states - data.xf) ** 2, axis=-1)
+            dg = jnp.where(can_grow, dg, jnp.inf)
+            nearest_goal = jnp.argmin(dg)
+            use_goal = jax.random.uniform(kp, (batch,)) < goal_bias
+            parents = jnp.where(
+                use_goal | ~lane_ok, nearest_goal, cat
+            )
+            # the PDST schedule: selected cells cost double next time
+            prio = prio.at[
+                jnp.where(lane_ok & ~use_goal, cell_pick, G2)
+            ].multiply(2.0, mode="drop")
         else:
             if select == "EST":
                 d2 = jnp.sum(
@@ -258,7 +330,7 @@ def _plan_tree(
                 wt = 1.0 / (1.0 + nbrs.astype(dtype))
             else:  # KPIECE
                 cells = jax.vmap(cell_of)(states)
-                counts = jnp.zeros((grid * grid,), jnp.int32).at[
+                counts = jnp.zeros((G2,), jnp.int32).at[
                     cells
                 ].add(can_grow.astype(jnp.int32))
                 wt = 1.0 / (1.0 + counts[cells].astype(dtype))
@@ -317,6 +389,11 @@ def _plan_tree(
         child_x, ok = jax.vmap(propagate)(px, pd, elen, u)
         ok = ok & (elen > 0) & can_grow[parents]
         child_d = pd + elen
+        # cost-from-root: time + control effort of the new segment
+        seg = elen.astype(dtype) * dt * (
+            1.0 + effort_weight * jnp.sum(u * u, axis=-1)
+        )
+        child_c = cost[parents] + seg
 
         # child control prefix = parent prefix with [pd, pd+e) := u
         idx = jnp.arange(nsteps)
@@ -327,27 +404,63 @@ def _plan_tree(
 
         cctrl = jax.vmap(child_ctrl)(parents, pd, elen, u)
 
-        # --- append (block write at the current count) ------------------
-        count = jnp.sum(alive.astype(jnp.int32))
-        start = jnp.minimum(count, M - batch)
+        # --- append (block write at the monotone write cursor; NOT at
+        # the live count — pruning shrinks the live count, and writing
+        # there would overwrite live nodes' slots) ----------------------
+        start = jnp.minimum(n_written, M - batch)
+        n_written = jnp.minimum(n_written + batch, M)
+        child_idx = start + jnp.arange(batch, dtype=jnp.int32)
+
+        if select == "SST":
+            # witness pruning: a child survives only if it is the
+            # cheapest its cell has ever seen; the cell's previous
+            # champion is deactivated (kept in storage for paths, never
+            # extended — SST's "inactive" set)
+            ccell = jax.vmap(cell_of)(child_x)
+            c_eff = jnp.where(ok, child_c, jnp.inf)
+            old_best = wit_cost[ccell]
+            wit_cost = wit_cost.at[ccell].min(c_eff)
+            accepted = ok & (c_eff <= wit_cost[ccell]) & (
+                c_eff < old_best
+            )
+            old_champ = wit_node[ccell]
+            deact = jnp.where(
+                accepted & (old_champ >= 0), old_champ, M
+            )
+            pruned = pruned + jnp.sum(
+                (deact < M) & alive[jnp.minimum(deact, M - 1)]
+            ).astype(jnp.int32)
+            alive = alive.at[deact].set(False, mode="drop")
+            wit_node = wit_node.at[
+                jnp.where(accepted, ccell, G2)
+            ].set(child_idx, mode="drop")
+            ok = accepted
+
         states = jax.lax.dynamic_update_slice(
             states, child_x, (start, 0)
         )
         depth = jax.lax.dynamic_update_slice(depth, child_d, (start,))
         ctrl = jax.lax.dynamic_update_slice(ctrl, cctrl, (start, 0, 0))
+        cost = jax.lax.dynamic_update_slice(cost, child_c, (start,))
         alive = jax.lax.dynamic_update_slice(alive, ok, (start,))
-        return (states, depth, ctrl, alive), None
+        return (states, depth, ctrl, alive, cost, wit_cost, wit_node,
+                prio, pruned, n_written), None
 
     keys = jax.random.split(key, n_iters)
-    (states, depth, ctrl, alive), _ = jax.lax.scan(
-        grow, (states0, depth0, ctrl0, alive0), keys
+    (states, depth, ctrl, alive, cost, wit_cost, wit_node, prio,
+     pruned, _nw), _ = jax.lax.scan(
+        grow,
+        (states0, depth0, ctrl0, alive0, cost0, wit_cost0, wit_node0,
+         prio0, pruned0, jnp.asarray(1, jnp.int32)),
+        keys,
     )
 
     # --- pick the best node by full padded replay -----------------------
     eval_one = _score_rollout(dynamics, data, dt, goal_weight,
                               effort_weight)
     scores, Xs = jax.vmap(eval_one)(ctrl)
-    # prefer deep, valid nodes; dead slots out
+    # prefer deep, valid nodes; dead slots out (SST: witness champions
+    # remain selectable — dominated nodes were deactivated)
     scores = jnp.where(alive, scores, jnp.inf)
     scores = scores + 0.1 * (nsteps - depth).astype(dtype)
     best = jnp.argmin(scores)
@@ -360,5 +473,9 @@ def _plan_tree(
         n_nodes=jnp.sum(alive.astype(jnp.int32)),
         depth=depth,
         best_depth=depth[best],
+        cost=cost,
+        n_pruned=pruned,
+        cell_priority=prio,
+        witness_cost=wit_cost,
     )
     return Xb, U_nodes, info
