@@ -316,7 +316,13 @@ def solve_lanes(D, O, r, interpret: bool = False, refine: int = 1,
 
 
 def usable(K: int, w: int) -> bool:
-    return w <= 8 and _vmem_bytes(K, w, LANES) <= _VMEM_CAP
+    # w cap bounds the unrolled triangle (tw = w(w+1)/2 sequential rows
+    # per node). w=9 measured on v5e at K=101, B=256 (the fixed-wing
+    # N=100 shape, tools/kkt_kernel_bench.py): 1.03 ms/solve at
+    # bt=128+refine1, resid 2.4e-6 — flipping fw100 from the cyclic-
+    # reduction fallback to this kernel took the ladder rung 151 -> see
+    # README. Wider than 9 is untested against Mosaic's unroll budget.
+    return w <= 9 and _vmem_bytes(K, w, LANES) <= _VMEM_CAP
 
 
 def pick_block(B: int, K: int, w: int) -> int:

@@ -19,7 +19,7 @@ def _problem(B, K, w, seed=0):
     return jnp.asarray(D), jnp.asarray(O), jnp.asarray(r)
 
 
-@pytest.mark.parametrize("K,w", [(4, 3), (9, 4), (17, 5)])
+@pytest.mark.parametrize("K,w", [(4, 3), (9, 4), (17, 5), (13, 9)])
 def test_matches_scan(K, w):
     D, O, r = _problem(128, K, w, seed=K + w)
     x = pallas_bt.solve_lanes(D, O, r, True)
@@ -40,5 +40,6 @@ def test_multi_tile_batch():
 
 def test_usable_guard():
     assert pallas_bt.usable(51, 5)
+    assert pallas_bt.usable(101, 9)       # the fixed-wing N=100 shape
     assert not pallas_bt.usable(51, 12)   # w too wide for unrolling
     assert not pallas_bt.usable(5000, 8)  # VMEM cap

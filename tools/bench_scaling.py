@@ -130,18 +130,27 @@ def main():
         )
 
     if "fw100" in which:
+        # r4 cure of the 117/s rung (VERDICT r3 do #1), measured in
+        # tools/fw_diag_r4.py + fw_tpu_r4.py: (a) the real iteration
+        # CDF is p50 92 / p99 103 at rho0=316 (not ~400 — budgets
+        # resized to it), (b) per-iteration cost was dominated by the
+        # w=9 cyclic-reduction KKT fallback; extending the Pallas
+        # lane-major kernel to w=9 (ops/pallas_bt.py usable()) cut
+        # per-iteration ~16.3 -> ~4.4 ms at B=256. 117 -> ~550/s.
+        # rho0=1000 is faster still (p50 80) but lands ~10% worse
+        # objectives; 316 keeps the best measured quality.
         vgp, nlp = fixed_wing_3dof()  # N=100
         data, dims = vgp.to_device()
         bdata = scatter_x0(
             data, 256, 0.05, [0, 1], jax.random.PRNGKey(2)
         )
         cfg = SolverConfig(
-            max_outer=64, rho0=10.0, kkt_solver=kkt,
-            lm_rule="ratio", round_viol_patience=8, max_total=400,
+            max_outer=64, rho0=316.0, kkt_solver=kkt,
+            lm_rule="ratio", round_viol_patience=8, max_total=110,
         )
         run_config(
             "fixed-wing 3-DOF N=100", nlp, bdata, cfg,
-            ((128, 400), (32, 2000)),
+            ((32, 96), (8, 512)),
         )
 
     if "fleet4096" in which:
