@@ -243,11 +243,20 @@ def main():
     # warm fleet-MPC throughput: re-solve the batch with perturbed x0,
     # warm-started from the previous solution (steady-state fleet MPC —
     # the production workload; eGurobi changeX0 fast path at scale).
-    # Warm re-solves converge at p50 ~ 10 iterations; the budget covers
-    # the p99 tail via one compacted continuation stage.
-    warm_budget = int(os.environ.get("BENCH_WBUDGET", "32"))
+    # Warm CDF measured r4 (tools/warm_r4.py): p50 8 / p90 23 / p99 52
+    # / max 116 iterations. Budget 20 + a tail-aware two-stage ladder
+    # (B/8 x 48 holds the ~9% of lanes that exceed 20; B/32 x 192
+    # passes the max) swept best: 5163/s at warm_solved 1.000 — 4.3x
+    # the honest cold headline (VERDICT r3 do #5). Budget 16 runs ~6%
+    # faster still but strands 7% of lanes.
+    warm_budget = int(os.environ.get("BENCH_WBUDGET", "20"))
     cfg_warm = dataclasses.replace(cfg, max_total=warm_budget)
-    warm_stages = ((max(B // 16, 1), int(os.environ.get("BENCH_WSTAGE", "128"))),)
+    _wstages_env = os.environ.get("BENCH_WSTAGES", "8:48,32:192")
+    warm_stages = tuple(
+        (max(B // int(dv), 1), int(bd))
+        for dv, bd in (p.split(":") for p in _wstages_env.split(","))
+    )
+    log(f"warm config: budget {warm_budget} stages {warm_stages}")
 
     # optional cap on the carried penalty at re-entry. Measured: OFF is
     # right — capping to 1e4 dropped warm solved 1.000 -> 0.892 because
@@ -269,15 +278,22 @@ def main():
 
     warmj = jax.jit(warm)
     z0, lam, rho = res0.z, (res0.lam_def, res0.lam_eq, res0.mu), res0.rho
-    d = bdata
-    s, ws, z0, lam, rho = warmj(d, z0, lam, rho)  # compile
+    s, ws, z0, lam, rho = warmj(bdata, z0, lam, rho)  # compile
     float(s)
+    # pre-stage the drifted batches (like the cold loop) so the timed
+    # region is pure back-to-back solve dispatch with ONE end sync —
+    # interleaving host-built perturbations with dispatch measured up
+    # to 40% slow through the tunnel
+    wds = [
+        dataclasses.replace(
+            bdata, x0=bdata.x0 + jnp.float32(0.01 * (i + 1))
+        )
+        for i in range(iters)
+    ]
+    float(jnp.sum(wds[-1].x0))  # stage-in barrier
     t0 = time.time()
     wss = []
-    for i in range(iters):
-        d = dataclasses.replace(
-            d, x0=d.x0 + jnp.float32(0.01)
-        )
+    for d in wds:
         s, ws, z0, lam, rho = warmj(d, z0, lam, rho)
         wss.append(ws)
     float(s)

@@ -104,13 +104,36 @@ def main():
             flush=True,
         )
 
+    if "benchctx" in which:
+        # replicate the bench harness's full pre-warm context: the
+        # cost-analysis lower/compile plus 5 staged throughput batches
+        # resident on device, then measure warm — bisects the 280 ms vs
+        # 198 ms discrepancy between bench.py and this tool
+        try:
+            ca = cold.lower(bdata).compile().cost_analysis()
+            print("cost_analysis ok", flush=True)
+        except Exception as e:
+            print("cost_analysis failed", e, flush=True)
+        batches = [
+            make_batch(nlp, data, B, jax.random.PRNGKey(i + 1))
+            for i in range(5)
+        ]
+        float(jnp.sum(batches[-1].x0))
+        acc = jnp.float32(0.0)
+        results = []
+        for d in batches:
+            r = cold(d)
+            acc = acc + jnp.sum(r.z)
+        float(acc)
+        print("bench context staged", flush=True)
+
     if "sweep" in which:
-        for wb, stages in (
-            (32, ((B // 16, 128),)),          # r3 shipped config
-            (16, ((B // 16, 128),)),
-            (12, ((B // 8, 64), (B // 32, 256))),
-            (16, ((B // 8, 64), (B // 32, 256))),
-            (24, ((B // 16, 256),)),
+        # tail-aware ladders: stage-1 capacity must hold the #lanes
+        # exceeding the phase budget (CDF: >16 ~ 23%, >24 ~ 9%), and
+        # cumulative budget must pass the max (116)
+        for wb, stages, d_compile in (
+            (20, ((B // 8, 48), (B // 32, 192)), d1),
+            (20, ((B // 8, 48), (B // 32, 192)), bdata),  # bench protocol
         ):
             cfg_w = dataclasses.replace(cfg, max_total=wb)
 
@@ -125,9 +148,9 @@ def main():
                     r.z, (r.lam_def, r.lam_eq, r.mu), r.rho,
                 )
 
-            s, ws, z, lam, rho = warm(d1, res0.z, lam0, res0.rho)
+            s, ws, z, lam, rho = warm(d_compile, res0.z, lam0, res0.rho)
             float(s)
-            d = d1
+            d = d_compile
             t0 = time.time()
             wss = []
             iters = 5
