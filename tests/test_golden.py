@@ -336,6 +336,54 @@ def test_side_branch_exact_on_small_problem():
     assert not inside.any(), X
 
 
+def test_exact_infeasible_certificate_vs_uncertified():
+    """Advisor r3 (medium): budget exhaustion must never be treated as
+    an infeasibility certificate. On a provably infeasible problem
+    (goal 10 units away, max reach 1.0):
+
+    * with warm retries, the engine earns a STAGNATION certificate (a
+      full warm retry fails to halve the violation of the convex
+      relaxation) -> INFEASIBLE with certified=True;
+    * with max_retries=0 the node is dropped WITHOUT a certificate ->
+      certified=False (the uncertified-truncation flag)."""
+    from etol_tpu.core.problem import VGP
+    from etol_tpu.models import dynamics
+    from etol_tpu.solve import SolverConfig, side_branch
+    from etol_tpu.transcribe.nlp import NLP
+
+    vgp = VGP(nsteps=4, dt=0.5)
+    vgp.x0 = [0.0, 0.0]
+    vgp.xf = [10.0, 0.0]
+    vgp.xtol = [0.01, 0.01]
+    vgp.xlower = [-20.0, -20.0]
+    vgp.xupper = [20.0, 20.0]
+    vgp.ulower = [-0.5, -0.5]
+    vgp.uupper = [0.5, 0.5]
+    nlp = NLP(
+        dims=vgp.dims(),
+        dynamics=dynamics.single_integrator,
+        running_cost=lambda x, u, t, d: u[0] ** 2 + u[1] ** 2,
+        scheme="euler",
+        cost_form="sum",
+        use_obstacles=False,
+    )
+    data, dims = vgp.to_device()
+    cfg = SolverConfig(max_total=150)
+
+    res = side_branch.solve_exact(
+        nlp, cfg, data, wave=2, max_nodes=16, max_retries=2
+    )
+    assert not res.incumbent_found
+    assert res.status == 3  # INFEASIBLE
+    assert res.certified  # stagnation certificate earned via retries
+
+    res0 = side_branch.solve_exact(
+        nlp, cfg, data, wave=2, max_nodes=16, max_retries=0
+    )
+    assert not res0.incumbent_found
+    assert not res0.certified  # dropped with no certificate
+
+
 def test_exact_composes_binary_param_with_obstacle():
     """VERDICT r3 missing #2: a VGP with a BINARY param AND an obstacle
     must solve exactly in ONE search (the reference's single GLPK model

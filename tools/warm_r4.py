@@ -129,11 +129,16 @@ def main():
 
     if "sweep" in which:
         # tail-aware ladders: stage-1 capacity must hold the #lanes
-        # exceeding the phase budget (CDF: >16 ~ 23%, >24 ~ 9%), and
-        # cumulative budget must pass the max (116)
-        for wb, stages, d_compile in (
-            (20, ((B // 8, 48), (B // 32, 192)), d1),
-            (20, ((B // 8, 48), (B // 32, 192)), bdata),  # bench protocol
+        # exceeding the phase budget (CDF: >16 ~ 23%, >20 ~ 9%), and
+        # the cumulative budget must pass the max (116). Winner r4:
+        # b=20 + (B/8 x 48, B/32 x 192) -> 5163-5199/s at solved 1.000
+        # (6 runs); b=16 variants run faster but strand 5-17% of lanes
+        for wb, stages in (
+            (32, ((B // 16, 128),)),              # r3 shipped config
+            (16, ((B // 4, 32), (B // 16, 128))),
+            (16, ((B // 8, 48), (B // 32, 192))),
+            (20, ((B // 8, 48), (B // 32, 192))),  # r4 winner
+            (24, ((B // 8, 96), (B // 32, 256))),
         ):
             cfg_w = dataclasses.replace(cfg, max_total=wb)
 
@@ -148,9 +153,9 @@ def main():
                     r.z, (r.lam_def, r.lam_eq, r.mu), r.rho,
                 )
 
-            s, ws, z, lam, rho = warm(d_compile, res0.z, lam0, res0.rho)
+            s, ws, z, lam, rho = warm(d1, res0.z, lam0, res0.rho)
             float(s)
-            d = d_compile
+            d = d1
             t0 = time.time()
             wss = []
             iters = 5
