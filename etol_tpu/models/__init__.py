@@ -17,6 +17,7 @@ from .problems import (
     point_mass_3d,
     uas_2d,
 )
+from .tuned import tuned_config, warm_config
 
 __all__ = [
     "dynamics",
@@ -26,4 +27,6 @@ __all__ = [
     "point_mass_3d",
     "uas_2d",
     "fixed_wing_3dof",
+    "tuned_config",
+    "warm_config",
 ]

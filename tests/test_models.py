@@ -70,3 +70,43 @@ def test_fixed_wing_reaches_goal_band():
     )
     assert float(jnp.min(U[:, 2])) >= -1e-4  # throttle in [0, 1]
     assert float(jnp.max(U[:, 2])) <= 1.0 + 1e-4
+
+
+def test_tuned_config_registry():
+    """The measured per-model configs (models/tuned.py) resolve for
+    every canonical family, produce valid SolverConfigs/stages, and the
+    tuned config actually solves its model (smoke, small batch)."""
+    import dataclasses
+
+    import pytest
+
+    from etol_tpu import batch_tile
+    from etol_tpu.models import (
+        double_integrator_2d,
+        tuned_config,
+        warm_config,
+    )
+    from etol_tpu.solve import al_sqp
+
+    for name in ("double_integrator_2d", "uas_2d", "point_mass_3d",
+                 "fixed_wing_3dof"):
+        cfg, raw = tuned_config(name, kkt_solver="scan")
+        assert cfg.max_total > 0 and cfg.kkt_solver == "scan"
+        assert all(dv >= 2 and bd > 0 for dv, bd in raw)
+        _, stages = tuned_config(name, batch=1024, kkt_solver="scan")
+        assert all(1 <= c <= 1024 for c, _ in stages)
+
+    wcfg, wstages = warm_config(cfg, batch=1024)
+    assert wcfg.max_total == 20 and wstages[0] == (128, 48)
+
+    with pytest.raises(KeyError):
+        tuned_config("no_such_model")
+
+    vgp, nlp = double_integrator_2d()
+    data, dims = vgp.to_device()
+    bdata = batch_tile(data, 8)
+    cfg, stages = tuned_config(
+        "double_integrator_2d", batch=8, kkt_solver="scan"
+    )
+    res = al_sqp.solve_batched_staged(nlp, cfg, bdata, None, stages)
+    assert bool(jnp.all(res.status == 1))

@@ -38,9 +38,10 @@ from etol_tpu.models import (
     double_integrator_2d,
     fixed_wing_3dof,
     point_mass_3d,
+    tuned_config,
     uas_2d,
 )
-from etol_tpu.solve import SolverConfig, al_sqp, shooting
+from etol_tpu.solve import al_sqp, shooting
 
 
 def log(*a):
@@ -99,64 +100,43 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
+    # Solver configs come from the measured per-model registry
+    # (etol_tpu/models/tuned.py) — single source of truth; the
+    # methodology and sweep data live in docs/perf.md and the
+    # tools/*_r3.py / *_r4.py measurement scripts.
+
     if "pm20" in which:
-        # r4 CDF-resize: rho0=1000 + growth 3.16 cuts the tail (p50 50
-        # / p99 79 vs p99 186 at the r3 rho316/g2 config) at equal
-        # objective quality; budget 55 + tail-aware ladder
         vgp, nlp = double_integrator_2d()
         data, dims = vgp.to_device()
         bdata = scatter_x0(
             data, 1024, 0.4, [0, 1], jax.random.PRNGKey(0)
         )
-        cfg = SolverConfig(
-            max_outer=64, rho0=1000.0, rho_growth=3.16, kkt_solver=kkt,
-            lm_rule="ratio", round_viol_patience=4, max_total=90,
+        cfg, stages = tuned_config(
+            "double_integrator_2d", batch=1024, kkt_solver=kkt
         )
-        run_config(
-            "point-mass 2D N=20", nlp, bdata, cfg,
-            ((256, 128), (64, 384)),
-        )
+        run_config("point-mass 2D N=20", nlp, bdata, cfg, stages)
 
     if "pm3d" in which:
-        # r4 CDF-resize: rho0=1000 + growth 3.16 -> p50 55 / p99 80
-        # (was p99 210 at rho316/g2), objectives within 0.3%
         vgp, nlp = point_mass_3d(nsteps=40)
         data, dims = vgp.to_device()
         bdata = scatter_x0(
             data, 1024, 0.3, [0, 1, 2], jax.random.PRNGKey(1)
         )
-        cfg = SolverConfig(
-            max_outer=64, rho0=1000.0, rho_growth=3.16, kkt_solver=kkt,
-            lm_rule="ratio", round_viol_patience=4, max_total=70,
+        cfg, stages = tuned_config(
+            "point_mass_3d", batch=1024, kkt_solver=kkt
         )
-        run_config(
-            "3D moving obstacles N=40", nlp, bdata, cfg,
-            ((256, 64), (64, 256)),
-        )
+        run_config("3D moving obstacles N=40", nlp, bdata, cfg, stages)
 
     if "fw100" in which:
-        # r4 cure of the 117/s rung (VERDICT r3 do #1), measured in
-        # tools/fw_diag_r4.py + fw_tpu_r4.py: (a) the real iteration
-        # CDF is p50 92 / p99 103 at rho0=316 (not ~400 — budgets
-        # resized to it), (b) per-iteration cost was dominated by the
-        # w=9 cyclic-reduction KKT fallback; extending the Pallas
-        # lane-major kernel to w=9 (ops/pallas_bt.py usable()) cut
-        # per-iteration ~16.3 -> ~4.4 ms at B=256. 117 -> ~550/s.
-        # rho0=1000 is faster still (p50 80) but lands ~10% worse
-        # objectives; 316 keeps the best measured quality.
         vgp, nlp = fixed_wing_3dof()  # N=100
         data, dims = vgp.to_device()
         bdata = scatter_x0(
             data, 256, 0.05, [0, 1], jax.random.PRNGKey(2)
         )
-        cfg = SolverConfig(
-            max_outer=64, rho0=316.0, kkt_solver=kkt,
-            lm_rule="ratio", round_viol_patience=8, max_total=110,
+        cfg, stages = tuned_config(
+            "fixed_wing_3dof", batch=256, kkt_solver=kkt
         )
-        run_config(
-            "fixed-wing 3-DOF N=100", nlp, bdata, cfg,
-            ((32, 96), (8, 512)),
-        )
+        run_config("fixed-wing 3-DOF N=100", nlp, bdata, cfg, stages)
 
     if "fleet4096" in which:
         vgp, nlp = uas_2d(nsteps=50)
@@ -164,15 +144,12 @@ def main():
         bdata = scatter_x0(
             data, 4096, 0.5, [0, 1], jax.random.PRNGKey(3)
         )
-        # r4: adopt the headline's rho_growth=3.16 schedule (the r3
-        # fleet config predated the growth sweep)
-        cfg = SolverConfig(
-            max_outer=64, rho0=1000.0, rho_growth=3.16, kkt_solver=kkt,
-            lm_rule="ratio", round_viol_patience=4, max_total=83,
+        cfg, stages = tuned_config(
+            "uas_2d", batch=4096, kkt_solver=kkt
         )
         run_config(
-            "UAS fleet MPC N=50 B=4096", nlp, bdata, cfg,
-            ((2048, 32), (512, 96), (128, 1024)), shoot=512,
+            "UAS fleet MPC N=50 B=4096", nlp, bdata, cfg, stages,
+            shoot=512,
         )
 
 
