@@ -290,3 +290,80 @@ def bench(argv: Optional[Sequence[str]] = None) -> int:
 
     _main()
     return 0
+
+
+def solve_exact_composed(argv: Optional[Sequence[str]] = None) -> int:
+    """Composed exact MILP: BINARY params AND obstacle disjunctions
+    resolved by ONE certified branch-and-bound tree — the analog of the
+    reference's GLPK example holding per-window binary variables and
+    per-edge obstacle binaries in a single model
+    (etol_glpk_example1.cpp:160-276; one glp_intopt call resolves
+    both). A binary 'boost' gates the speed limit (|u| <= 0.35 +
+    1.15 b, at cost 0.4 b per active step); the horizon is too short to
+    reach the goal at base speed, and a square zone blocks the straight
+    line — the optimizer must BOTH switch the boost on (integer
+    branching) and pick an escape side past the zone (disjunction
+    branching)."""
+    _respect_platform_env()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .core.problem import VGP
+    from .core.types import ParamConfig, Status, VarType
+    from .models import dynamics
+    from .solve import SolverConfig, integer_mask, side_branch
+    from .transcribe.nlp import NLP
+
+    vgp = VGP(nsteps=6, dt=0.5)
+    vgp.x0 = [0.0, 0.0]
+    vgp.xf = [3.0, 0.0]
+    vgp.xtol = [0.02, 0.02]
+    vgp.xlower = [-1.0, -2.0]
+    vgp.xupper = [4.0, 2.0]
+    vgp.ulower = [-1.5, -1.5]
+    vgp.uupper = [1.5, 1.5]
+    vgp.add_exclusion_zone(
+        [[1.2, -0.4], [1.8, -0.4], [1.8, 0.4], [1.2, 0.4]]
+    )
+    vgp.add_params(
+        {"boost": ParamConfig(VarType.BINARY, 0.0, 1.0, 0.0, 3.0)}
+    )
+    vgp.print_configs()
+
+    def cost(x, u, t, d, p):
+        return u[0] ** 2 + u[1] ** 2 + 0.4 * p[0]
+
+    def speed_gate(x, u, t, d, p):
+        cap = 0.35 + 1.15 * p[0]
+        return jnp.stack([u[0] - cap, -u[0] - cap,
+                          u[1] - cap, -u[1] - cap])
+
+    nlp = NLP(
+        dims=vgp.dims(),
+        dynamics=dynamics.single_integrator,
+        running_cost=cost,
+        path_ineq=(speed_gate,),
+        scheme="euler",
+        cost_form="sum",
+    )
+    data, dims = vgp.to_device()
+    t0 = time.time()
+    res = side_branch.solve_exact(
+        nlp, SolverConfig(), data,
+        int_cols=integer_mask(vgp),
+        wave=8, max_nodes=384,
+        convex_relaxation=True,
+        verbose=True,
+    )
+    Z = res.z.reshape(dims.nodes, dims.node_width)
+    print("\n!!!!!!!!!!!!!!!!!Results!!!!!!!!!!!!!!!!!")
+    print(f"Status:\t\t\t{Status(int(res.status)).name} "
+          f"(certified={res.certified})")
+    print(f"Minimization Score:\t{res.obj:.6f}  bound "
+          f"{res.best_bound:.6f}  gap {res.gap:.2e}")
+    print(f"Nodes / waves:\t\t{res.nodes_solved} / {res.waves}")
+    print("boost schedule:", np.round(Z[1:, 4]).astype(int).tolist())
+    print(f"Solve time (incl. compile): {time.time()-t0:.1f}s")
+    return 0 if (
+        int(res.status) == int(Status.SOLVED) and res.certified
+    ) else 1
