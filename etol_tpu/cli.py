@@ -25,13 +25,22 @@ def _respect_platform_env() -> None:
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     # persistent compile cache: the exact B&B's vmapped wave program is
-    # the dominant first-use cost; cache it across CLI invocations
-    # (same dir as bench_harness so the container pre-warm is shared)
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/etol_jaxcache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # the dominant first-use cost; cache it across CLI invocations.
+    # Default path is PER-USER (a fixed /tmp path breaks for the second
+    # user on a shared machine: the dir belongs to the first); set
+    # JAX_COMPILATION_CACHE_DIR to share (the container does). A cache
+    # dir the user already configured programmatically is respected.
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                f"/tmp/etol_jaxcache-u{os.getuid()}",
+            ),
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 2.0
+        )
 
 
 def default_config(name: str) -> str:
@@ -305,47 +314,14 @@ def solve_exact_composed(argv: Optional[Sequence[str]] = None) -> int:
     branching) and pick an escape side past the zone (disjunction
     branching)."""
     _respect_platform_env()
-    import jax.numpy as jnp
     import numpy as np
 
-    from .core.problem import VGP
-    from .core.types import ParamConfig, Status, VarType
-    from .models import dynamics
+    from .core.types import Status
+    from .models import composed_exact_demo
     from .solve import SolverConfig, integer_mask, side_branch
-    from .transcribe.nlp import NLP
 
-    vgp = VGP(nsteps=6, dt=0.5)
-    vgp.x0 = [0.0, 0.0]
-    vgp.xf = [3.0, 0.0]
-    vgp.xtol = [0.02, 0.02]
-    vgp.xlower = [-1.0, -2.0]
-    vgp.xupper = [4.0, 2.0]
-    vgp.ulower = [-1.5, -1.5]
-    vgp.uupper = [1.5, 1.5]
-    vgp.add_exclusion_zone(
-        [[1.2, -0.4], [1.8, -0.4], [1.8, 0.4], [1.2, 0.4]]
-    )
-    vgp.add_params(
-        {"boost": ParamConfig(VarType.BINARY, 0.0, 1.0, 0.0, 3.0)}
-    )
+    vgp, nlp = composed_exact_demo()
     vgp.print_configs()
-
-    def cost(x, u, t, d, p):
-        return u[0] ** 2 + u[1] ** 2 + 0.4 * p[0]
-
-    def speed_gate(x, u, t, d, p):
-        cap = 0.35 + 1.15 * p[0]
-        return jnp.stack([u[0] - cap, -u[0] - cap,
-                          u[1] - cap, -u[1] - cap])
-
-    nlp = NLP(
-        dims=vgp.dims(),
-        dynamics=dynamics.single_integrator,
-        running_cost=cost,
-        path_ineq=(speed_gate,),
-        scheme="euler",
-        cost_form="sum",
-    )
     data, dims = vgp.to_device()
     t0 = time.time()
     res = side_branch.solve_exact(

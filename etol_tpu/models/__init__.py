@@ -12,6 +12,7 @@ from . import dynamics
 from .problems import (
     canonical_mip_2d,
     canonical_ocp_2d,
+    composed_exact_demo,
     double_integrator_2d,
     fixed_wing_3dof,
     point_mass_3d,
@@ -23,6 +24,7 @@ __all__ = [
     "dynamics",
     "canonical_mip_2d",
     "canonical_ocp_2d",
+    "composed_exact_demo",
     "double_integrator_2d",
     "point_mass_3d",
     "uas_2d",

@@ -107,24 +107,26 @@ class SideData:
 _TRACK_SIDES = 4
 
 
-def _side_constraints(x, u, t, data, p=None):
+def _side_constraints(x, u, t, data, _p=None):
     """Side-assigned linear avoidance rows, <= 0 feasible.
 
-    ``p`` (unused) keeps the param-problem callback ABI: when params
+    ``_p`` (unused) keeps the param-problem callback ABI: when params
     are declared every user callback receives the trailing param slice
     (transcribe/nlp.py:105-111).
 
     Replaces the smooth obstacle stack when branching: for each piece
-    with an assigned side m, require n_m . p >= b_m (outside through
+    with an assigned side m, require n_m . pos >= b_m (outside through
     side m); for each track, require the chosen axis distance >= r.
     Dropped pairs report -1 (feasible)."""
     k = jnp.round(t / data.dt).astype(jnp.int32)
-    p = x[:2]
+    pos = x[:2]
     parts = []
     obs = data.obstacles
     if obs.halfspaces.shape[0] > 0:
         hs = obs.halfspaces  # [P, H, 3]
-        margins = hs[..., 2] - (hs[..., 0] * p[0] + hs[..., 1] * p[1])
+        margins = hs[..., 2] - (
+            hs[..., 0] * pos[0] + hs[..., 1] * pos[1]
+        )
         selp = data.sel_piece[k]  # [P]
         chosen = jnp.take_along_axis(
             margins, jnp.clip(selp, 0, hs.shape[1] - 1)[:, None], axis=1
@@ -142,7 +144,7 @@ def _side_constraints(x, u, t, data, p=None):
                 for i in range(T)
             ]
         )  # [T, D]
-        d = p[None, :] - cs[:, :2]
+        d = pos[None, :] - cs[:, :2]
         sides = jnp.stack([d[:, 0], -d[:, 0], d[:, 1], -d[:, 1]], axis=1)
         selt = data.sel_track[k]  # [T]
         chosen_t = jnp.take_along_axis(
@@ -436,13 +438,12 @@ def solve_exact(
                     certified = False
                     continue
                 # feasible but unconverged: its value bounds nothing;
-                # branch on with the INHERITED bound
+                # branch on with the INHERITED bound — and if there is
+                # nothing left to branch, the incumbent path below
+                # flips certified=False (the region closes at an
+                # unconverged objective, which is a silent truncation)
             elif v > feas_tol:
                 continue  # converged infeasible: certified prune
-            if v > feas_tol:
-                # (unconverged, still improving, retries exhausted)
-                certified = False
-                continue
             relax_obj = sign * float(objs[i])
             child_bound = relax_obj if solved else node.bound
             if (
@@ -457,7 +458,11 @@ def solve_exact(
             )
             fr = frac_parts(Z)
             if kind == 0 and fr.max() <= int_tol:
-                # feasible against the EXACT disjunctions + integral
+                # feasible against the EXACT disjunctions + integral:
+                # a valid incumbent (any feasible point upper-bounds) —
+                # but only a CONVERGED node certifies its region's
+                # optimum; an unconverged leaf has no children and no
+                # certificate, so the tree is truncated there
                 if relax_obj < incumbent_obj:
                     incumbent_obj = relax_obj
                     incumbent_z = zs[i].copy()
@@ -467,6 +472,8 @@ def solve_exact(
                             f"{sign * incumbent_obj:.6g} after "
                             f"{nodes_solved} nodes"
                         )
+                if not solved:
+                    certified = False
                 continue
             children = []
             if kind != 0:
@@ -533,7 +540,7 @@ def solve_exact(
     ) if heap else incumbent_obj
     if incumbent_z is None:
         return MIPResult(
-            z=np.zeros(d.nz, np.float32),
+            z=np.zeros(d.nz, dtype),
             obj=np.nan,
             status=int(Status.INFEASIBLE),
             best_bound=sign * best_bound
