@@ -126,8 +126,18 @@ def main():
     # Swept on-chip: budget 83(rg3) + this ladder = 1256 solves/s vs
     # 152+1 stage (809), 110+2 stages (946), 97+3 stages (1093);
     # under-staged deeper cuts strand lanes (solved < 0.95)
-    cold_budget = int(os.environ.get("BENCH_BUDGET0", "83"))
-    _stages_env = os.environ.get("BENCH_STAGES", "2:32,8:96,32:1024")
+    # defaults come from the measured per-model registry
+    # (models/tuned.py — the same numbers the ladder tool uses)
+    from etol_tpu.models.tuned import _TUNED
+
+    _tuned_uas, _tuned_stages = _TUNED["uas_2d"]
+    cold_budget = int(
+        os.environ.get("BENCH_BUDGET0", str(_tuned_uas["max_total"]))
+    )
+    _stages_env = os.environ.get(
+        "BENCH_STAGES",
+        ",".join(f"{dv}:{bd}" for dv, bd in _tuned_stages),
+    )
     # "div:budget,..." -> ((B//div, budget), ...)
     cold_stages = tuple(
         (max(B // int(dv), 1), int(bd))
@@ -249,9 +259,16 @@ def main():
     # passes the max) swept best: 5163/s at warm_solved 1.000 — 4.3x
     # the honest cold headline (VERDICT r3 do #5). Budget 16 runs ~6%
     # faster still but strands 7% of lanes.
-    warm_budget = int(os.environ.get("BENCH_WBUDGET", "20"))
+    from etol_tpu.models.tuned import WARM_UAS_2D
+
+    warm_budget = int(
+        os.environ.get("BENCH_WBUDGET", str(WARM_UAS_2D[0]["max_total"]))
+    )
     cfg_warm = dataclasses.replace(cfg, max_total=warm_budget)
-    _wstages_env = os.environ.get("BENCH_WSTAGES", "8:48,32:192")
+    _wstages_env = os.environ.get(
+        "BENCH_WSTAGES",
+        ",".join(f"{dv}:{bd}" for dv, bd in WARM_UAS_2D[1]),
+    )
     warm_stages = tuple(
         (max(B // int(dv), 1), int(bd))
         for dv, bd in (p.split(":") for p in _wstages_env.split(","))
