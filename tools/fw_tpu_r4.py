@@ -124,6 +124,16 @@ def main():
         elif v == "radau_b512":
             run("radau rho316 ls16 B=512", nlp_r, bd(512),
                 cfg316_ls16, ((64, 96), (16, 512)))
+        elif v == "gn":
+            # CPU iteration CDF says gn is slightly BETTER on fw at
+            # rho316 (p50 84 vs 92) and skips the 18x18 pair-Hessians,
+            # but the remote TPU compile helper reproducibly SIGSEGVs
+            # on this program (HTTP 500, tpu_compile_helper signal 11,
+            # 2x on 2026-08-21) — parked until the toolchain moves
+            run("HS rho316 gn-hessian", nlp, bd(256),
+                dataclasses.replace(cfg316, hessian="gn",
+                                    max_total=100),
+                ((32, 96), (8, 512)))
         elif v == "hs_b1024":
             run("HS rho316 ls16 B=1024", nlp, bd(1024),
                 dataclasses.replace(cfg316, ls_grid=16,
