@@ -201,6 +201,49 @@ class TrajectoryOptimizer:
         )
         return self.result
 
+    def solve_exact(self, **kw):
+        """Certified exact solve — the MILP-backend role (eGLPK/eGurobi
+        ``solve()``, eGLPK.cpp:64-77): obstacle disjunctions AND any
+        declared INTEGER/BINARY vartypes resolved by the unified
+        branch-and-bound (:func:`etol_tpu.solve.side_branch.solve_exact`;
+        one tree, certificate-gated pruning). Returns the
+        :class:`~etol_tpu.solve.branch_bound.MIPResult` (also stored as
+        :attr:`mip_result`); the incumbent trajectory is installed as
+        :attr:`result` so ``get_score``/``get_xtraj``/``save`` work
+        unchanged. Keyword args pass through (``wave``, ``max_nodes``,
+        ``gap_tol``, ``convex_relaxation`` — set True for the reference
+        MILP class to enable bound pruning and a true gap)."""
+        if self.nlp is None:
+            raise ValueError("setup() must run before solve_exact()")
+        from .solve import side_branch
+        from .solve.branch_bound import integer_mask
+
+        icols = integer_mask(self.vgp)
+        t0 = time.time()
+        mres = side_branch.solve_exact(
+            self.nlp, self.config, self.data,
+            int_cols=icols if icols.any() else None, **kw
+        )
+        self._solve_time = time.time() - t0
+        self.mip_result = mres
+        zeros = al_sqp.init_multipliers(self.nlp, self.data)
+        self.result = SolveResult(
+            z=jnp.asarray(mres.z, self.dtype),
+            obj=jnp.asarray(mres.obj, self.dtype),
+            status=jnp.asarray(int(mres.status), jnp.int32),
+            outer_iters=jnp.asarray(mres.waves, jnp.int32),
+            inner_iters=jnp.asarray(mres.nodes_solved, jnp.int32),
+            # the incumbent is feasibility-audited against the EXACT
+            # constraint set inside the B&B; residuals of the smooth
+            # relaxation are not meaningful here
+            viol_eq=jnp.asarray(0.0, self.dtype),
+            viol_in=jnp.asarray(0.0, self.dtype),
+            grad_norm=jnp.asarray(0.0, self.dtype),
+            lam_def=zeros[0], lam_eq=zeros[1], mu=zeros[2],
+            rho=jnp.asarray(self.config.rho0, self.dtype),
+        )
+        return mres
+
     def solve_batch(
         self,
         x0: Optional[jax.Array] = None,

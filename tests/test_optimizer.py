@@ -104,3 +104,29 @@ def test_solve_batch(solved_opt):
             x0=jnp.asarray(x0[:2]), warm=True, rescue=False
         )
     assert res3.z.shape[0] == 2
+
+
+def test_facade_solve_exact():
+    """MILP-backend parity on the facade: `solve_exact()` runs the
+    unified certified branch-and-bound, stores the MIPResult, and the
+    scalar lifecycle (get_score/get_xtraj/save) keeps working on the
+    incumbent trajectory."""
+    from etol_tpu.models import composed_exact_demo
+    from etol_tpu.optimizer import TrajectoryOptimizer
+
+    vgp, nlp = composed_exact_demo()
+    topt = TrajectoryOptimizer()
+    topt.vgp = vgp
+    topt.nlp = nlp
+    topt.data, topt.dims = vgp.to_device()
+    mres = topt.solve_exact(
+        wave=8, max_nodes=384, convex_relaxation=True
+    )
+    assert mres.certified and mres.status == 1
+    assert topt.mip_result is mres
+    assert int(topt.result.status) == 1
+    assert float(topt.get_score()) == pytest.approx(mres.obj, abs=1e-6)
+    ts, X = topt.get_xtraj()
+    assert X.shape == (topt.dims.nodes, 2)
+    # endpoint reached within the declared band
+    assert float(jnp.max(jnp.abs(X[-1] - topt.data.xf))) <= 0.021
