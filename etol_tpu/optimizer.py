@@ -211,8 +211,10 @@ class TrajectoryOptimizer:
         :attr:`mip_result`); the incumbent trajectory is installed as
         :attr:`result` so ``get_score``/``get_xtraj``/``save`` work
         unchanged. Keyword args pass through (``wave``, ``max_nodes``,
-        ``gap_tol``, ``convex_relaxation`` — set True for the reference
-        MILP class to enable bound pruning and a true gap)."""
+        ``gap_tol``, ``convex_relaxation`` — default auto-detects like
+        ``solve_milp``: bound pruning only when there are no user path
+        inequalities of unknown curvature; pass True explicitly for
+        linear user rows to enable pruning and a true gap)."""
         if self.nlp is None:
             raise ValueError("setup() must run before solve_exact()")
         from .solve import side_branch
@@ -227,17 +229,21 @@ class TrajectoryOptimizer:
         self._solve_time = time.time() - t0
         self.mip_result = mres
         zeros = al_sqp.init_multipliers(self.nlp, self.data)
+        # a failed search has no trajectory: inf violations keep
+        # get_score/save from presenting the all-zeros placeholder as a
+        # feasible solve (advisor r4)
+        viol = 0.0 if mres.incumbent_found else float("inf")
         self.result = SolveResult(
             z=jnp.asarray(mres.z, self.dtype),
             obj=jnp.asarray(mres.obj, self.dtype),
             status=jnp.asarray(int(mres.status), jnp.int32),
             outer_iters=jnp.asarray(mres.waves, jnp.int32),
             inner_iters=jnp.asarray(mres.nodes_solved, jnp.int32),
-            # the incumbent is feasibility-audited against the EXACT
-            # constraint set inside the B&B; residuals of the smooth
-            # relaxation are not meaningful here
-            viol_eq=jnp.asarray(0.0, self.dtype),
-            viol_in=jnp.asarray(0.0, self.dtype),
+            # for a found incumbent: feasibility is audited against the
+            # EXACT constraint set inside the B&B; residuals of the
+            # smooth relaxation are not meaningful here
+            viol_eq=jnp.asarray(viol, self.dtype),
+            viol_in=jnp.asarray(viol, self.dtype),
             grad_norm=jnp.asarray(0.0, self.dtype),
             lam_def=zeros[0], lam_eq=zeros[1], mu=zeros[2],
             rho=jnp.asarray(self.config.rho0, self.dtype),

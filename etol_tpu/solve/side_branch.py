@@ -225,6 +225,8 @@ class _Node:
     rho: Optional[float]    # warm penalty (None = cfg.rho0)
     retries: int = 0
     prev_viol: float = np.inf
+    stagn: int = 0          # consecutive warm retries that failed to
+    #                         halve the violation (certificate evidence)
 
 
 def solve_exact(
@@ -238,7 +240,7 @@ def solve_exact(
     gap_tol: float = 1e-3,
     int_tol: float = 1e-3,
     inside_eps: float = 1e-3,
-    convex_relaxation: bool = True,
+    convex_relaxation: Optional[bool] = None,
     max_retries: int = 3,
     node_budget: int = 0,
     verbose: bool = False,
@@ -254,11 +256,19 @@ def solve_exact(
     etol_glpk_example1.cpp:160-276). ``convex_relaxation=True`` (valid
     for the reference MILP class: linear dynamics + convex cost +
     linear user rows) enables bound pruning and a true optimality gap.
+    The default ``None`` auto-detects like :func:`branch_bound.solve_milp`
+    (advisor r4): convex iff no user path inequalities — user callbacks
+    of unknown curvature disable bound pruning (sound, slower) and a
+    caller with LINEAR rows opts in with an explicit ``True``.
 
     ``node_budget`` caps Newton iterations per node ATTEMPT (0 = the
     cfg's own budget); hard nodes earn more via warm re-queues (up to
     ``max_retries``) instead of every node paying the worst case.
     """
+    if convex_relaxation is None:
+        # same guard as branch_bound.solve_milp:114 — bound pruning is
+        # only sound when every relaxation is convex
+        convex_relaxation = not nlp.path_ineq
     d = nlp.dims
     K, w = d.nodes, d.node_width
     bnlp = branch_nlp(nlp)
@@ -415,25 +425,37 @@ def solve_exact(
                 if node.retries < max_retries:
                     # cold restart: divergence poisons the warm state
                     requeue(node, z0=z_guess, lam=lam_cold, rho=None,
-                            retries=node.retries + 1)
+                            retries=node.retries + 1,
+                            prev_viol=np.inf, stagn=0)
                 else:
                     certified = False
                 continue
             solved = st == int(Status.SOLVED)
             if not solved:
                 # MAX_ITER: budget exhaustion is NOT a certificate.
+                stagnant_now = v >= 0.5 * node.prev_viol
                 if node.retries < max_retries:
                     requeue(
                         node, z0=zs[i].copy(), lam=lam_i,
                         rho=float(np.asarray(res.rho[i])),
                         retries=node.retries + 1, prev_viol=v,
+                        stagn=node.stagn + int(stagnant_now),
                     )
                     continue
                 if v > feas_tol:
-                    # stagnation certificate: a warm full-budget retry
-                    # failed to halve the violation of a (convex)
-                    # relaxation -> infeasible
-                    if convex_relaxation and v >= 0.5 * node.prev_viol:
+                    # stagnation certificate (strengthened, advisor r4):
+                    # AL with growing rho drives the violation of any
+                    # feasible convex relaxation down, so infeasibility
+                    # is certified only when the violation is well clear
+                    # of the feasibility band (>> feas_tol) AND at least
+                    # two consecutive warm full-budget retries failed to
+                    # halve it. Slow-but-converging nodes (small or
+                    # still-shrinking violation) are dropped WITHOUT a
+                    # certificate instead of being mislabelled.
+                    if (
+                        convex_relaxation and stagnant_now
+                        and node.stagn >= 1 and v > 10.0 * feas_tol
+                    ):
                         continue
                     certified = False
                     continue
@@ -527,7 +549,7 @@ def solve_exact(
                 nn = dataclasses.replace(
                     node, bound=child_bound, z0=zs[i].copy(),
                     lam=lam_i, rho=float(np.asarray(res.rho[i])),
-                    retries=0, prev_viol=np.inf, **ch,
+                    retries=0, prev_viol=np.inf, stagn=0, **ch,
                 )
                 key = key_of(nn)
                 if key in seen:
@@ -539,17 +561,25 @@ def solve_exact(
         [b for b, *_ in heap] + [incumbent_obj]
     ) if heap else incumbent_obj
     if incumbent_z is None:
+        # INFEASIBLE is a claim of certified infeasibility: it requires
+        # the tree fully exhausted (no open nodes left behind by the
+        # max_nodes budget) AND every prune to have carried a
+        # certificate. A budget-truncated search reports MAX_ITER
+        # (advisor r4 high: open heap nodes are not "dropped", so
+        # ``certified`` alone cannot witness exhaustion).
+        exhausted = (not heap) and certified
         return MIPResult(
             z=np.zeros(d.nz, dtype),
             obj=np.nan,
-            status=int(Status.INFEASIBLE),
+            status=int(Status.INFEASIBLE) if exhausted
+            else int(Status.MAX_ITER),
             best_bound=sign * best_bound
             if np.isfinite(best_bound) else np.nan,
             gap=np.inf,
             nodes_solved=nodes_solved,
             waves=waves,
             incumbent_found=False,
-            certified=certified,
+            certified=certified and not heap,
         )
     if convex_relaxation:
         gap = abs(incumbent_obj - best_bound) / max(
