@@ -338,8 +338,9 @@ class TrajectoryOptimizer:
 
     def plan(
         self,
-        n_samples: int = 1024,
+        n_samples: Optional[int] = None,
         key: Optional[jax.Array] = None,
+        solve_time: Optional[float] = None,
         **kw,
     ) -> SolveResult:
         """Sampling-based solve — the eOMPL backend's role
@@ -348,11 +349,23 @@ class TrajectoryOptimizer:
         pack the best rollout as a result. Status is SOLVED when the
         rollout reaches
         the goal band collision-free, MAX_ITER otherwise (the planner's
-        "approximate solution" outcome)."""
+        "approximate solution" outcome).
+
+        ``solve_time`` is the reference's solve-budget dial: eOMPL runs
+        its planner for ``nSteps * dt`` wall-clock seconds
+        (eOMPL.cpp:241, consumed at :164). When neither ``n_samples``
+        nor ``solve_time`` is given, the problem-derived default budget
+        ``nsteps * dt`` seconds applies, mapped deterministically onto
+        an extension count (:func:`etol_tpu.solve.planners
+        .budget_samples`); a shorter budget grows a smaller search and
+        yields the approximate-solution status."""
         if self.nlp is None:
             raise ValueError("setup() must run before plan()")
         from .solve import planners
 
+        if n_samples is None and solve_time is None:
+            # the reference's problem-derived default (eOMPL.cpp:241)
+            solve_time = self.dims.nsteps * float(self.vgp.dt)
         t0 = time.time()
         X, U, info = planners.plan(
             getattr(self, "_planner", "SHOOTING"),
@@ -361,6 +374,7 @@ class TrajectoryOptimizer:
             self.data,
             n_samples,
             key,
+            solve_time=solve_time,
             **kw,
         )
         z = jnp.concatenate([X, U], axis=-1).reshape(-1)

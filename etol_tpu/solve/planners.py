@@ -44,6 +44,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.problem import VGPData
 from . import shooting
@@ -51,20 +52,54 @@ from . import shooting
 PLANNERS = ("RRT", "SST", "EST", "KPIECE", "PDST")
 EXTRA_PLANNERS = ("CEM", "SHOOTING")
 
+# extensions-per-second rate used to map the reference's wall-clock
+# solve budget onto a tree/sample capacity (see budget_samples); a
+# deliberately conservative figure — one compiled batched tree step
+# retires `batch` extensions, and even the CPU backend clears several
+# thousand extensions per second on the test problems
+EXT_RATE = 2048.0
+
+
+def budget_samples(
+    solve_time: float, ext_rate: float = EXT_RATE,
+    lo: int = 64, hi: int = 65536,
+) -> int:
+    """Map a wall-clock solve budget (seconds) to a tree/sample capacity.
+
+    The reference budgets its planner by wall-clock — ``solveTime_ =
+    nSteps * dt`` seconds (eOMPL.cpp:241) consumed by
+    ``ss_->solve(solveTime_)`` (eOMPL.cpp:164). A traced fixed-shape
+    tree cannot branch on a clock, so the budget maps DETERMINISTICALLY
+    onto the number of extensions the planner is allowed
+    (``solve_time * ext_rate``, clamped) — the same dial with
+    reproducible results: a shorter budget grows a smaller tree and
+    yields the planner's "approximate solution" outcome (MAX_ITER)."""
+    return int(np.clip(round(solve_time * ext_rate), lo, hi))
+
 
 def plan(
     name: str,
     dynamics: Callable,
     nsteps: int,
     data: VGPData,
-    n_samples: int = 1024,
+    n_samples: Optional[int] = 1024,
     key: Optional[jax.Array] = None,
+    solve_time: Optional[float] = None,
+    ext_rate: float = EXT_RATE,
     **kw,
 ):
     """Dispatch by planner name (case-insensitive), eOMPL setPlanner
     parity (eOMPL.cpp:121-159); the two extra non-OMPL names are
-    documented in the module header."""
+    documented in the module header.
+
+    ``solve_time`` (seconds) is the reference's solve-budget dial
+    (eOMPL.cpp:161-173,241): when given it overrides ``n_samples`` via
+    :func:`budget_samples`."""
     name = name.strip().upper()
+    if solve_time is not None:
+        n_samples = budget_samples(solve_time, ext_rate)
+    elif n_samples is None:
+        n_samples = 1024
     if key is None:
         key = jax.random.PRNGKey(0)
     if name == "SHOOTING":
