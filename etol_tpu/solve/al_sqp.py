@@ -188,6 +188,18 @@ class SolverConfig:
                                 # (measured: N=16 canonical OCP diverges
                                 # under "best", solves under "first"),
                                 # and on the UAS bench "best" buys < 5%
+    chord_steps: int = 0        # Shamanskii/chord composite iteration:
+                                # after each full Newton step (Hessian
+                                # assembly + factor + line search), run
+                                # this many REUSE steps that re-solve
+                                # the stored KKT blocks with a fresh
+                                # gradient — skipping the assembly that
+                                # dominates the iteration (~5 of 7.5 ms
+                                # at B=1024, docs/perf.md). Stale blocks
+                                # (moved Z, updated multipliers, grown
+                                # rho) are guarded by the same Armijo
+                                # line search; 0 = classic one-assembly-
+                                # per-step iteration
     lm_rule: str = "ratio"      # Levenberg adaptation signal: "count"
                                 # (backtrack depth; oscillates between
                                 # under- and over-damped on zigzag
@@ -503,6 +515,16 @@ class _ALFuncs:
         """Damped projected-Newton direction from a precomputed AL
         gradient; returns (p, bad). ``g`` optionally carries the
         inequality residuals at Z (reused by the active-set test)."""
+        p, bad, _, _, _ = self.direction_ext(
+            Z, grad, lam_def, lam_eq, mu, rho, lm, g
+        )
+        return p, bad
+
+    def direction_ext(self, Z, grad, lam_def, lam_eq, mu, rho, lm,
+                      g=None):
+        """:meth:`direction` + the assembled (D, O) blocks and free
+        mask, so chord (Hessian-reuse) steps can re-solve against them
+        (cfg.chord_steps)."""
         cfg = self.cfg
         at_lb = Z <= self.lb + 1e-9
         at_ub = Z >= self.ub - 1e-9
@@ -510,6 +532,18 @@ class _ALFuncs:
             self.pinned | (at_lb & (grad > 0.0)) | (at_ub & (grad < 0.0))
         )
         D, O = self.gn_blocks(Z, lam_def, lam_eq, mu, rho, free, lm, g)
+        p, bad = self.direction_from_blocks(D, O, free, grad, rho, lm)
+        return p, bad, D, O, free
+
+    def direction_from_blocks(self, D, O, free, grad, rho, lm):
+        """Solve the KKT system against already-assembled blocks.
+
+        The chord/Shamanskii path: a reuse step re-solves stored (D, O)
+        with a FRESH gradient — skipping the Hessian assembly that
+        dominates the iteration (docs/perf.md: ~5 of 7.5 ms at B=1024).
+        The stored damping is adjusted to the current ``lm`` by the
+        caller; the line search guards the staleness."""
+        cfg = self.cfg
         # the blocks are in scaled coordinates (H~ = S H S): solve
         # H~ p~ = -S g, then p = S p~
         s = self.scale
@@ -545,6 +579,20 @@ class _ALFuncs:
         bad = ~jnp.all(jnp.isfinite(p)) | (jnp.sum(p * grad) >= 0.0)
         p = jnp.where(bad, s * rhs / ((1.0 + rho) * (1.0 + lm)), p)
         return p, bad
+
+    def chord_direction(self, Dst, Ost, free_st, dmp_st, grad, rho, lm):
+        """Direction from STORED blocks with the damping diagonal
+        re-centred on the current (rho, lm): D_eff = Dst + (dmp_now -
+        dmp_st) I — exact for the damping term; residual staleness
+        (moved Z, updated multipliers, grown rho inside the blocks) is
+        what the Armijo guard absorbs."""
+        cfg = self.cfg
+        w = self.w
+        dmp_now = (cfg.reg + lm) * (1.0 + rho)
+        D_eff = Dst + (dmp_now - dmp_st) * jnp.eye(w, dtype=self.dtype)
+        return self.direction_from_blocks(
+            D_eff, Ost, free_st, grad, rho, lm
+        )
 
     def newton_step(self, Z, lam_def, lam_eq, mu, rho, lm=None):
         """One damped projected-Newton iteration; returns
@@ -653,10 +701,10 @@ def _solve_single(
         else jnp.asarray(rho_init, dtype)
     )
 
-    def body_diag(st):
+    def body_diag(st, reuse: bool = False):
         (Z, cd, ce, g, cost, lam_def, lam_eq, mu, rho, omega, lm,
-         viol_prev, C, Q, viol_ref, noprog, in_it, o_it, tot, done,
-         _pgn) = st
+         viol_prev, C, Q, viol_ref, Dst, Ost, free_st, dmp_st,
+         noprog, in_it, o_it, tot, done, _pgn) = st
 
         # ---- gradient/value at the CURRENT consistent (Z, multiplier)
         # pair; residuals are carried, so the value assembly is free
@@ -705,9 +753,20 @@ def _solve_single(
         # (lanes at an inner-round boundary spend this iteration on the
         # multiplier update below: their step would mix a stale gradient
         # with fresh multipliers)
-        p, bad_dir = F.direction(
-            Z, grad, lam_def, lam_eq, mu, rho, lm, g
-        )
+        if reuse:
+            # chord step: fresh gradient against the STORED blocks
+            p, bad_dir = F.chord_direction(
+                Dst, Ost, free_st, dmp_st, grad, rho, lm
+            )
+        elif cfg.chord_steps:
+            p, bad_dir, Dst, Ost, free_st = F.direction_ext(
+                Z, grad, lam_def, lam_eq, mu, rho, lm, g
+            )
+            dmp_st = (cfg.reg + lm) * (1.0 + rho)
+        else:
+            p, bad_dir = F.direction(
+                Z, grad, lam_def, lam_eq, mu, rho, lm, g
+            )
 
         # parallel Armijo line search over the alpha grid. (A moving
         # 8-candidate window anchored at the last accepted exponent was
@@ -854,8 +913,8 @@ def _solve_single(
 
         new_st = (
             Znew, cd_n, ce_n, g_n, cost_n, lam_def, lam_eq, mu, rho,
-            omega, lm, viol_prev, C, Q, viol_ref, noprog, in_it, o_it,
-            tot + 1, done, pgn,
+            omega, lm, viol_prev, C, Q, viol_ref, Dst, Ost, free_st,
+            dmp_st, noprog, in_it, o_it, tot + 1, done, pgn,
         )
         diag = dict(
             val=val, val_new=val_new, pgn=pgn, viol=viol, rho=rho,
@@ -865,7 +924,13 @@ def _solve_single(
         return new_st, diag
 
     def body(st):
-        return body_diag(st)[0]
+        st = body_diag(st)[0]
+        # chord (Hessian-reuse) sub-steps: statically unrolled so every
+        # lane runs the same program (a traced cond would execute both
+        # branches under vmap anyway); each counts against the budgets
+        for _ in range(cfg.chord_steps):
+            st = body_diag(st, reuse=True)[0]
+        return st
 
     def cond(st):
         (*_, o_it, tot, done, _pgn) = st
@@ -879,6 +944,14 @@ def _solve_single(
         jnp.asarray(jnp.inf, dtype),  # C (nonmonotone ref; inf = re-init)
         jnp.asarray(1.0, dtype),      # Q (nonmonotone weight)
         jnp.asarray(jnp.inf, dtype),  # viol_ref (patience baseline)
+        # chord-step block storage; zero-size placeholders when the
+        # feature is off so the baseline while-carry is unchanged
+        jnp.zeros((F.K, F.w, F.w) if cfg.chord_steps else (0,), dtype),
+        jnp.zeros(
+            (F.K - 1, F.w, F.w) if cfg.chord_steps else (0,), dtype
+        ),
+        jnp.zeros((F.K, F.w) if cfg.chord_steps else (0,), bool),
+        jnp.asarray(0.0, dtype),                # dmp_st
         jnp.asarray(0, jnp.int32),   # noprog
         jnp.asarray(0, jnp.int32),   # in_it
         jnp.asarray(0, jnp.int32),   # o_it
@@ -894,6 +967,10 @@ def _solve_single(
         def scan_body(st, _):
             cont = cond(st)
             new_st, diag = body_diag(st)
+            for _ in range(cfg.chord_steps):
+                # composite iteration: chord sub-steps ride along (the
+                # recorded diagnostics are the full step's)
+                new_st = body_diag(new_st, reuse=True)[0]
             new_st = jax.tree.map(
                 lambda a, b: jnp.where(cont, a, b), new_st, st
             )
@@ -905,7 +982,8 @@ def _solve_single(
         st = jax.lax.while_loop(cond, body, init)
         hist = None
     (Z, cd, ce, g, cost, lam_def, lam_eq, mu, rho, omega, lm, viol_prev,
-     _C, _Q, _viol_ref, noprog, in_it, o_it, tot, done, pgn) = st
+     _C, _Q, _viol_ref, _Dst, _Ost, _free_st, _dmp_st,
+     noprog, in_it, o_it, tot, done, pgn) = st
 
     viol_eq = jnp.maximum(
         jnp.max(jnp.abs(cd), initial=0.0),
