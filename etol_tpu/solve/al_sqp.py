@@ -188,6 +188,18 @@ class SolverConfig:
                                 # (measured: N=16 canonical OCP diverges
                                 # under "best", solves under "first"),
                                 # and on the UAS bench "best" buys < 5%
+    sep_assembly: bool = True   # separable-scheme fast Hessian assembly
+                                # (euler/trapezoidal, memoryless): the
+                                # defect couples adjacent nodes only
+                                # through f evaluated at EACH node, so
+                                # per-node dynamics Jacobians/Hessians
+                                # are shared between the two steps that
+                                # touch the node (the generic path
+                                # computes each twice, over node PAIRS)
+                                # and the cross-node curvature quadrant
+                                # is exactly zero. Same math, ~half the
+                                # assembly AD work; False = the generic
+                                # pair path (kill switch / A-B testing)
     chord_steps: int = 0        # Shamanskii/chord composite iteration:
                                 # after each full Newton step (Hessian
                                 # assembly + factor + line search), run
@@ -411,7 +423,47 @@ class _ALFuncs:
         # Hessian (kept block-tridiagonal; gradients remain exact via
         # al_grad, so this is an inexact-Newton preconditioner, not an
         # approximation of the problem)
-        if nlp.delay:
+        sep = (
+            cfg.sep_assembly
+            and not nlp.delay
+            and nlp.scheme in ("euler", "trapezoidal")
+        )
+        if sep:
+            # separable-scheme fast path: c_k depends on f(z_k) and
+            # f(z_{k+1}) SEPARATELY (collocation.py step_defect), so one
+            # per-node dynamics Jacobian serves both adjacent steps (the
+            # generic pair path below computes it twice) and — used for
+            # the curvature further down — the cross-node quadrant of
+            # ∇²(s·c) is exactly zero
+            nx = d.nx
+            dt = data.dt
+            cs = self.cscale
+
+            def fnode(zn, k):
+                x, u, _ = nlp._split(zn)
+                t = k.astype(zn.dtype) * dt
+                return nlp.dynamics(x, u, t, data)
+
+            fvals = jax.vmap(fnode)(Z, self.ks_node)
+            Jn = jax.vmap(
+                lambda zn, k: jax.jacfwd(lambda v: fnode(v, k))(zn)
+            )(Z, self.ks_node)  # [K, nx, w]
+            Js = Jn / cs[None, :, None]
+            Ecs = (
+                jnp.zeros((nx, w), dtype)
+                .at[:, :nx].set(jnp.eye(nx, dtype=dtype))
+                / cs[:, None]
+            )
+            if nlp.scheme == "euler":
+                # c = x1 - x0 - dt f(z1): A constant, curvature b-only
+                A = jnp.broadcast_to(
+                    -Ecs[None], (self.K - 1, nx, w)
+                )
+                B = Ecs[None] - dt * Js[1:]
+            else:  # trapezoidal: c = x1 - x0 - dt/2 (f(z0) + f(z1))
+                A = -Ecs[None] - (0.5 * dt) * Js[:-1]
+                B = Ecs[None] - (0.5 * dt) * Js[1:]
+        elif nlp.delay:
             Wn = nlp.step_windows(Z)
 
             def step_jacs(Wk, k):
@@ -441,7 +493,42 @@ class _ALFuncs:
         D = D.at[1:].add(rho * _einsum("kij,kil->kjl", B, B))
         O = rho * _einsum("kij,kil->kjl", A, B)
 
-        if cfg.hessian in ("defect", "full"):
+        if cfg.hessian in ("defect", "full") and sep:
+            # separable fast path: ∇²_{z_k}(s·c) = coef ∇²((s/cs)·f)(z_k)
+            # with zero cross-node quadrant. Node k's total contribution
+            # sums the weights of BOTH steps touching it (linearity of
+            # the contraction), so ONE w-dim scalar hessian per node
+            # replaces one 2w-dim hessian per step.
+            X0 = Z[:, : d.nx]
+            if nlp.scheme == "euler":
+                cdef = X0[1:] - X0[:-1] - dt * fvals[1:]
+            else:
+                cdef = (
+                    X0[1:] - X0[:-1]
+                    - (0.5 * dt) * (fvals[:-1] + fvals[1:])
+                )
+            s_eff = jax.lax.stop_gradient(
+                (lam_def + rho * (cdef / cs)) / cs
+            )  # [nsteps, nx]
+            if nlp.scheme == "euler":
+                wn = jnp.concatenate(
+                    [jnp.zeros((1, d.nx), dtype), s_eff], axis=0
+                )
+                coef = -dt
+            else:
+                wn = (
+                    jnp.zeros((self.K, d.nx), dtype)
+                    .at[:-1].add(s_eff)
+                    .at[1:].add(s_eff)
+                )
+                coef = -0.5 * dt
+            Hn = jax.vmap(
+                lambda zn, k, wk: jax.hessian(
+                    lambda v: jnp.sum(wk * fnode(v, k))
+                )(zn)
+            )(Z, self.ks_node, wn)
+            D = D + coef * Hn
+        elif cfg.hessian in ("defect", "full"):
             # exact defect curvature: hessian over the node pair of
             # (λ+ρc)·c, split into its four w×w quadrants (delayed
             # problems: curvature of the two newest window nodes only,
