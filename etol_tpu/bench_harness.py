@@ -99,6 +99,20 @@ def main():
 
     vgp, nlp = uas_2d(nsteps=nsteps)
     data, dims = vgp.to_device()
+    # r5: the measured transcription choice rides in the registry —
+    # obstacle exclusion through the convex-piece softmin containment
+    # alone (the reference MILP's node-wise semantics; each piece value
+    # is conservative, so solved lanes sit strictly outside every piece
+    # at every node — audited below). The edge-ellipse band rows
+    # double-cover the boundary but their concave curvature is what
+    # dragged the iteration CDF (p50 85 -> 48; docs/perf.md r5).
+    from etol_tpu.models.tuned import tuned_extras
+
+    _extras_cfg = tuned_extras("uas_2d")
+    obs_form = os.environ.get(
+        "BENCH_OBS_FORM", _extras_cfg.get("obstacle_form", "both")
+    )
+    nlp = dataclasses.replace(nlp, obstacle_form=obs_form)
     kkt = "pallas" if jax.default_backend() == "tpu" else "scan"
     # Round-3 solver config: trust-region-ratio Levenberg adaptation +
     # violation-patience round exits cured the zigzag limit cycle
@@ -112,20 +126,26 @@ def main():
         lm_rule="ratio", round_viol_patience=4,
         rho_growth=float(os.environ.get("BENCH_RG", "3.16")),
     )
-    log(f"kkt_solver: {kkt}")
-    shoot = int(os.environ.get("BENCH_SHOOTING", "512"))
+    log(f"kkt_solver: {kkt}  obstacle_form: {obs_form}")
+    shoot = int(
+        os.environ.get(
+            "BENCH_SHOOTING", str(_extras_cfg.get("seed_walks", 512))
+        )
+    )
+    pulled = int(
+        os.environ.get(
+            "BENCH_PULLED", str(_extras_cfg.get("seed_pulled", 0))
+        )
+    )
     bdata = make_batch(nlp, data, B, jax.random.PRNGKey(0))
 
-    # phase-1 budget sized at ~p99 of the measured iteration CDF (p50
-    # 97 / p99 149, tools/sweep_r3.py rvp41k); one small compacted
-    # continuation stage mops up stragglers at 1/16 the per-iteration
-    # cost. (The r2 budgets stranded 37% of lanes — VERDICT r2 weak #1.)
-    # phase-1 at ~p50 of the iteration CDF, then a 3-stage compaction
-    # ladder (B/2 x 32, B/8 x 96, B/32 x 1024): each stage continues the
-    # unfinished tail warm at a fraction of the per-iteration cost.
-    # Swept on-chip: budget 83(rg3) + this ladder = 1256 solves/s vs
-    # 152+1 stage (809), 110+2 stages (946), 97+3 stages (1093);
-    # under-staged deeper cuts strand lanes (solved < 0.95)
+    # phase-1 budget at ~p50 of the measured iteration CDF, then a
+    # compaction ladder: each stage continues the unfinished tail warm
+    # at a fraction of the per-iteration cost (the capacity of stage 1
+    # must hold the ~half of lanes a p50 budget leaves unfinished).
+    # r5 sweep (tools/uas_r5.py, pieces containment + pulled seeds):
+    # budget 42 + (B/2 x 20, B/8 x 40, B/32 x 128) = solved 1.0000
+    # across 8 scattered batches at ~2736 solves/s.
     # defaults come from the measured per-model registry
     # (models/tuned.py — the same numbers the ladder tool uses)
     from etol_tpu.models.tuned import _TUNED
@@ -145,17 +165,46 @@ def main():
     )
     cfg_cold = dataclasses.replace(cfg, max_total=cold_budget)
 
+    from etol_tpu.transcribe import obstacles as obs_mod
+
     def run(d):
         z0 = None
         if shoot:
-            # collision-free shooting seed per lane (the recommended
-            # entry for nonconvex fields; rollout cost is trivial)
+            # collision-free shooting seed per lane (walks + goal-pulled
+            # greedy rollouts; the recommended entry for nonconvex
+            # fields; rollout cost is small vs the solve)
             z0 = jax.vmap(
-                lambda dat: shooting.plan_guess(nlp, dat, shoot)
+                lambda dat: shooting.plan_guess(
+                    nlp, dat, shoot, pulled=pulled
+                )
             )(d)
         res, stage_trips = al_sqp.solve_batched_staged.__wrapped__(
             nlp, cfg_cold, d, z0, cold_stages,
             return_stage_trips=True,
+        )
+        # honesty audit of the node-wise semantics: EXACT halfspace
+        # margins (no softmin slack) of every solved lane's nodes must
+        # be outside every obstacle piece, and the exact mid-segment
+        # penetration is reported (node-wise transcriptions — this one
+        # AND the reference's per-timestep MILP rows — do not constrain
+        # the chords between nodes)
+        solved_mask = res.status == 1
+        X = res.z.reshape(res.z.shape[0], nlp.dims.nodes, -1)[:, :, :2]
+        exact_depth = jax.vmap(jax.vmap(
+            lambda x: jnp.max(obs_mod.halfspace_margins(
+                x, data.obstacles))
+        ))(X)
+        mids = 0.5 * (X[:, 1:] + X[:, :-1])
+        mid_depth = jax.vmap(jax.vmap(
+            lambda x: jnp.max(obs_mod.halfspace_margins(
+                x, data.obstacles))
+        ))(mids)
+        big_neg = jnp.float32(-1e9)
+        node_depth_max = jnp.max(
+            jnp.where(solved_mask[:, None], exact_depth, big_neg)
+        )
+        mid_depth_max = jnp.max(
+            jnp.where(solved_mask[:, None], mid_depth, big_neg)
         )
         # fold to scalars on-device so the sync below transfers O(1)
         # bytes; pulling a scalar to host is the only reliable
@@ -166,6 +215,8 @@ def main():
             jnp.max(res.viol_eq),
             jnp.max(res.viol_in),
             jnp.stack(stage_trips),
+            node_depth_max,
+            mid_depth_max,
         ), res
 
     runj = jax.jit(run)
@@ -191,6 +242,17 @@ def main():
     log(f"compile+first run: {time.time()-t0:.1f}s")
     log(f"solved fraction: {solved:.3f}  max viol: "
         f"{float(out[2]):.2e}/{float(out[3]):.2e}")
+    node_depth = float(out[5])
+    mid_depth = float(out[6])
+    log(f"obstacle audit (exact halfspace margins, solved lanes): "
+        f"deepest NODE containment {node_depth:.2e} (<=0 means every "
+        f"node of every solved lane is outside every piece); deepest "
+        f"mid-segment chord dip {mid_depth:.3f} (node-wise semantics — "
+        f"the reference's per-timestep MILP rows leave chords "
+        f"unconstrained too, eGLPK.cpp:190-246)")
+    if node_depth > 1e-3:
+        log(f"*** BENCH UNHEALTHY: a solved lane has a node "
+            f"{node_depth:.3f} INSIDE an obstacle piece ***")
     # per-stage executed trip counts (deepest lane per while_loop):
     # [phase1, stage1, stage2, ...]
     stage_trip_counts = np.asarray(out[4], dtype=np.float64)
@@ -253,12 +315,10 @@ def main():
     # warm fleet-MPC throughput: re-solve the batch with perturbed x0,
     # warm-started from the previous solution (steady-state fleet MPC —
     # the production workload; eGurobi changeX0 fast path at scale).
-    # Warm CDF measured r4 (tools/warm_r4.py): p50 8 / p90 23 / p99 52
-    # / max 116 iterations. Budget 20 + a tail-aware two-stage ladder
-    # (B/8 x 48 holds the ~9% of lanes that exceed 20; B/32 x 192
-    # passes the max) swept best: 5163/s at warm_solved 1.000 — 4.3x
-    # the honest cold headline (VERDICT r3 do #5). Budget 16 runs ~6%
-    # faster still but strands 7% of lanes.
+    # Warm CDF measured r5 under pieces containment: p50 2 / p90 7 /
+    # p99 16 / max 29 iterations. Budget 14 + (B/8 x 32, B/32 x 128)
+    # swept best at warm_solved 1.0000 (~9.9k/s); budget 12 reaches
+    # 10.8k/s but strands 0.7% of lanes.
     from etol_tpu.models.tuned import WARM_UAS_2D
 
     warm_budget = int(
@@ -362,6 +422,9 @@ def main():
     extras = {
         "batch": B,
         "nsteps": nsteps,
+        "obstacle_form": obs_form,
+        "audit_node_depth_max": round(node_depth, 6),
+        "audit_midseg_depth_max": round(mid_depth, 4),
         "solved_fraction": solved_run,
         "raw_solves_per_s_per_chip": round(raw_solves_per_s, 2),
         "warm_solves_per_s_per_chip": round(warm_solves_per_s, 2),

@@ -31,13 +31,18 @@ _TUNED = {
              lm_rule="ratio", round_viol_patience=4, max_total=90),
         ((4, 128), (16, 384)),
     ),
-    # uas_2d N=50 with 512 shooting seeds (CDF p50 83 / p99 133)
-    # -> 1213 cold, 5107 warm solves/s/chip
+    # uas_2d N=50, r5 retune: obstacle exclusion through the
+    # convex-piece softmin containment alone (obstacle_form="pieces" —
+    # the reference MILP's node-wise semantics; see _MODEL_EXTRAS)
+    # halves the iteration CDF (B=256: p50 85 -> 48, p99 176 -> 64 at
+    # equal objectives), and 256 walk + 16 goal-pulled seeds shift it
+    # again (p50 41). Swept on-chip (tools/uas_r5.py): solved 1.0000
+    # across 8 scattered batches -> 2736 cold / 9945 warm solves/s/chip
     "uas_2d": (
         dict(max_outer=64, max_inner=100, rho0=1000.0,
              rho_growth=3.16, lm_rule="ratio", round_viol_patience=4,
-             max_total=83),
-        ((2, 32), (8, 96), (32, 1024)),
+             max_total=42),
+        ((2, 20), (8, 40), (32, 128)),
     ),
     # point_mass_3d N=40 (CDF p50 55 / p99 101 / max 175) -> 2002/s
     "point_mass_3d": (
@@ -54,9 +59,33 @@ _TUNED = {
     ),
 }
 
-# warm fleet-MPC re-solve phase for uas_2d (warm CDF p50 8 / p99 52 /
-# max 116) -> 5107 warm solves/s at warm_solved 1.000
-WARM_UAS_2D = (dict(max_total=20), ((8, 48), (32, 192)))
+# warm fleet-MPC re-solve phase for uas_2d. r5 (pieces containment):
+# warm CDF p50 2 / p90 7 / p99 16 / max 29 -> budget 14 + the ladder
+# below = 9945 warm solves/s at warm_solved 1.0000 (budget 12 reaches
+# 10.8k/s but strands 0.7% of lanes)
+WARM_UAS_2D = (dict(max_total=14), ((8, 32), (32, 128)))
+
+# model-level transcription/seed choices that pair with the solver
+# configs above (the bench and examples read these; the library-wide
+# NLP default stays the belt-and-braces obstacle_form="both")
+_MODEL_EXTRAS = {
+    # node-wise piece containment is the reference MILP's own
+    # semantics (per-timestep big-M side rows, eGLPK.cpp:190-246; its
+    # NSIDES square approximations are node-wise too) and each piece
+    # value is CONSERVATIVE (softmin inflation, obstacles.py
+    # piece_values) — solved lanes sit strictly outside every piece at
+    # every node. The edge-ellipse bands (the reference NLP example's
+    # form) double-cover the boundary but their concave rows are what
+    # drag the AL iteration count (docs/perf.md r5).
+    "uas_2d": dict(obstacle_form="pieces", seed_walks=256,
+                   seed_pulled=16),
+}
+
+
+def tuned_extras(model: str) -> dict:
+    """Model-level transcription/seed choices measured with the
+    registry configs (empty when a model has none)."""
+    return dict(_MODEL_EXTRAS.get(model, {}))
 
 
 def tuned_config(

@@ -58,14 +58,30 @@ def scatter_x0(data, B, scale, dims_free, key):
     return dataclasses.replace(bdata, x0=bdata.x0 + d * mask)
 
 
-def run_config(name, nlp, bdata, cfg, stages, shoot=0, reps=3):
+def apply_extras(nlp, model):
+    """Apply the registry's model-level transcription choice (e.g. the
+    uas pieces containment — models/tuned.py _MODEL_EXTRAS)."""
+    from etol_tpu.models.tuned import tuned_extras
+
+    ex = tuned_extras(model)
+    if "obstacle_form" in ex:
+        nlp = dataclasses.replace(
+            nlp, obstacle_form=ex["obstacle_form"]
+        )
+    return nlp, ex
+
+
+def run_config(name, nlp, bdata, cfg, stages, shoot=0, reps=3,
+               pulled=0):
     B = bdata.x0.shape[0]
 
     def run(d):
         z0 = None
         if shoot:
             z0 = jax.vmap(
-                lambda dat: shooting.plan_guess(nlp, dat, shoot)
+                lambda dat: shooting.plan_guess(
+                    nlp, dat, shoot, pulled=pulled
+                )
             )(d)
         res = al_sqp.solve_batched_staged.__wrapped__(
             nlp, cfg, d, z0, stages
@@ -107,6 +123,7 @@ def main():
 
     if "pm20" in which:
         vgp, nlp = double_integrator_2d()
+        nlp, _ = apply_extras(nlp, "double_integrator_2d")
         data, dims = vgp.to_device()
         bdata = scatter_x0(
             data, 1024, 0.4, [0, 1], jax.random.PRNGKey(0)
@@ -140,6 +157,7 @@ def main():
 
     if "fleet4096" in which:
         vgp, nlp = uas_2d(nsteps=50)
+        nlp, ex = apply_extras(nlp, "uas_2d")
         data, dims = vgp.to_device()
         bdata = scatter_x0(
             data, 4096, 0.5, [0, 1], jax.random.PRNGKey(3)
@@ -149,7 +167,8 @@ def main():
         )
         run_config(
             "UAS fleet MPC N=50 B=4096", nlp, bdata, cfg, stages,
-            shoot=512,
+            shoot=ex.get("seed_walks", 512),
+            pulled=ex.get("seed_pulled", 0),
         )
 
 
