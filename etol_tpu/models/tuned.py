@@ -24,12 +24,15 @@ from ..solve.al_sqp import SolverConfig
 # name -> (SolverConfig overrides, compaction stages as (divisor,
 # budget) pairs: capacity = B // divisor)
 _TUNED = {
-    # double_integrator_2d N=20 (B=1024 tail CDF: p50 45 / p99 233 /
-    # max 357) -> 2683 solves/s/chip
+    # double_integrator_2d N=20, r5 pieces containment: CDF p50 45 ->
+    # 25, max 357 -> 33 (B=256 CPU) at 11% BETTER objectives (the band
+    # inflation was costing 4.485 -> 4.024); on-chip solved 1.0000 ->
+    # 11378 solves/s/chip (was 2586) — the deep B/32 tail stage closes
+    # the last ~0.2% of lanes at trivial cost
     "double_integrator_2d": (
         dict(max_outer=64, rho0=1000.0, rho_growth=3.16,
-             lm_rule="ratio", round_viol_patience=4, max_total=90),
-        ((4, 128), (16, 384)),
+             lm_rule="ratio", round_viol_patience=4, max_total=26),
+        ((4, 16), (32, 512)),
     ),
     # uas_2d N=50, r5 retune: obstacle exclusion through the
     # convex-piece softmin containment alone (obstacle_form="pieces" —
@@ -79,6 +82,7 @@ _MODEL_EXTRAS = {
     # drag the AL iteration count (docs/perf.md r5).
     "uas_2d": dict(obstacle_form="pieces", seed_walks=256,
                    seed_pulled=16),
+    "double_integrator_2d": dict(obstacle_form="pieces"),
 }
 
 
