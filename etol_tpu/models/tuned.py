@@ -53,12 +53,19 @@ _TUNED = {
              lm_rule="ratio", round_viol_patience=4, max_total=70),
         ((4, 64), (16, 256)),
     ),
-    # fixed_wing_3dof N=100 (CDF p50 92 / p99 103 at rho0=316; 1000 is
-    # ~15% faster but lands ~10% worse objectives) -> 502/s at B=256
+    # fixed_wing_3dof N=100, r5: radau scheme (the r4-measured ~10%
+    # shipped at last) + chord_steps=2 — the obstacle-free fw is where
+    # Shamanskii reuse steps trade well (assemblies p50 92 -> 40 at
+    # +30% substeps; stale blocks stay valid without an active-set
+    # churn). On-chip B=256: 501 -> 848 solves/s at solved 1.0000;
+    # objectives land ~1.2% higher (0.9654 -> 0.9767 mean) — the
+    # composite iteration walks a slightly different path; a full-
+    # Newton polish stage was measured WORSE (docs/perf.md r5).
+    # rho0=316 kept (1000 is ~15% faster, ~10% worse objectives, r4).
     "fixed_wing_3dof": (
         dict(max_outer=64, rho0=316.0, lm_rule="ratio",
-             round_viol_patience=8, max_total=110),
-        ((8, 96), (32, 512)),
+             round_viol_patience=8, max_total=124, chord_steps=2),
+        ((2, 18), (8, 64), (32, 256)),
     ),
 }
 
@@ -83,6 +90,10 @@ _MODEL_EXTRAS = {
     "uas_2d": dict(obstacle_form="pieces", seed_walks=256,
                    seed_pulled=16),
     "double_integrator_2d": dict(obstacle_form="pieces"),
+    # radau residuals measured ~10% faster than hermite-simpson on the
+    # chip at identical iteration counts/quality (r4), and the chord
+    # config above is swept against the radau CDF
+    "fixed_wing_3dof": dict(scheme="radau"),
 }
 
 

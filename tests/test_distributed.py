@@ -84,6 +84,42 @@ _WORKER = textwrap.dedent(
     )
     print("STATUS", st.tolist(), flush=True)
     assert st.size == lb and (st == 1).all(), st
+
+    # ---- warm MPC tick latency across the 2-process mesh ----------
+    # (VERDICT r4 missing #2 / do #5: BASELINE.md's ">= 2 hosts"
+    # receding-horizon latency row had no measurement path. This is a
+    # CPU-proxy number over gloo TCP — real multi-chip ICI hardware is
+    # unavailable in this environment; the shape of the measurement —
+    # warm re-solve of the sharded fleet, every tick a cross-process
+    # collective program — is the honest part, the absolute number is
+    # a proxy.)
+    import time
+    res = al_sqp.solve_batched.__wrapped__(nlp, cfg, gdata, None, None)
+    cfg_w = dataclasses.replace(cfg, max_total=40)
+
+    @jax.jit
+    def tick(d, z0, lam, rho):
+        r = al_sqp.solve_batched.__wrapped__(nlp, cfg_w, d, z0, lam, rho)
+        return (jnp.sum(r.z),
+                jnp.mean((r.status == 1).astype(jnp.float32)),
+                r.z, (r.lam_def, r.lam_eq, r.mu), r.rho)
+
+    z0, lam, rho = res.z, (res.lam_def, res.lam_eq, res.mu), res.rho
+    d1 = dataclasses.replace(gdata, x0=gdata.x0 + jnp.float32(0.005))
+    s, ws, z0, lam, rho = tick(d1, z0, lam, rho)
+    float(s)  # compile + completion barrier
+    lats = []
+    for i in range(8):
+        d1 = dataclasses.replace(
+            gdata, x0=gdata.x0 + jnp.float32(0.005 * (i + 2))
+        )
+        t0 = time.time()
+        s, ws, z0, lam, rho = tick(d1, z0, lam, rho)
+        float(s)  # cross-process completion barrier
+        lats.append(time.time() - t0)
+    p50 = float(np.median(lats)) * 1e3
+    assert float(ws) == 1.0, float(ws)
+    print(f"WARM_TICK_P50_MS {p50:.2f}", flush=True)
     print("WORKER_OK", jax.process_index(), flush=True)
     """
 )
@@ -120,6 +156,13 @@ def test_two_process_gloo_batched_solve(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
         assert f"WORKER_OK {pid}" in out
+        # the ">= 2 hosts" MPC-tick proxy measurement ran and reported
+        # (BASELINE.md latency table; CPU-proxy caveat in the worker)
+        assert "WARM_TICK_P50_MS" in out, out[-2000:]
+    for line in outs[0].splitlines():
+        if line.startswith("WARM_TICK_P50_MS"):
+            print(f"\n2-process gloo warm MPC tick p50: "
+                  f"{line.split()[1]} ms (CPU proxy)")
 
 
 def _free_port() -> int:

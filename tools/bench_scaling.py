@@ -68,6 +68,8 @@ def apply_extras(nlp, model):
         nlp = dataclasses.replace(
             nlp, obstacle_form=ex["obstacle_form"]
         )
+    if "scheme" in ex:
+        nlp = dataclasses.replace(nlp, scheme=ex["scheme"])
     return nlp, ex
 
 
@@ -146,6 +148,7 @@ def main():
 
     if "fw100" in which:
         vgp, nlp = fixed_wing_3dof()  # N=100
+        nlp, _ = apply_extras(nlp, "fixed_wing_3dof")
         data, dims = vgp.to_device()
         bdata = scatter_x0(
             data, 256, 0.05, [0, 1], jax.random.PRNGKey(2)
