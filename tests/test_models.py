@@ -106,6 +106,16 @@ def test_tuned_config_registry():
         tuned_config("no_such_model")
 
     vgp, nlp = double_integrator_2d()
+    # the registry configs pair with the registry's model-level
+    # transcription choices (obstacle_form etc.) — apply them like the
+    # bench/ladder do
+    from etol_tpu.models.tuned import tuned_extras
+
+    ex = tuned_extras("double_integrator_2d")
+    if "obstacle_form" in ex:
+        nlp = dataclasses.replace(
+            nlp, obstacle_form=ex["obstacle_form"]
+        )
     data, dims = vgp.to_device()
     bdata = batch_tile(data, 8)
     cfg, stages = tuned_config(
