@@ -114,18 +114,19 @@ def main():
     )
     nlp = dataclasses.replace(nlp, obstacle_form=obs_form)
     kkt = "pallas" if jax.default_backend() == "tpu" else "scan"
-    # Round-3 solver config: trust-region-ratio Levenberg adaptation +
-    # violation-patience round exits cured the zigzag limit cycle
-    # (tools/sweep_r3.py: p50 Newton iterations 942 -> ~97, solved
-    # 0.95 -> 1.00 on this workload). rho0=1000 pairs with the
-    # collision-free shooting seeds below (rvp41k: p50 97 / p99 149 vs
-    # 104/187 at rho0=316; high rho0 without a good seed IS harmful —
-    # the library default stays 10).
-    cfg = SolverConfig(
-        max_outer=64, max_inner=100, rho0=1000.0, kkt_solver=kkt,
-        lm_rule="ratio", round_viol_patience=4,
-        rho_growth=float(os.environ.get("BENCH_RG", "3.16")),
+    # The solver config comes WHOLESALE from the measured per-model
+    # registry (models/tuned.py — ratio Levenberg + viol-patience round
+    # exits + the r5 ls_grid=16; the sweep provenance lives in the
+    # registry comments and docs/perf.md). BENCH_RG env still overrides
+    # the penalty growth for A/B runs.
+    from etol_tpu.models.tuned import _TUNED as _TUNED_REG
+
+    _uas_overrides = dict(_TUNED_REG["uas_2d"][0])
+    _uas_overrides["rho_growth"] = float(
+        os.environ.get("BENCH_RG", str(
+            _uas_overrides.get("rho_growth", 3.16)))
     )
+    cfg = SolverConfig(kkt_solver=kkt, **_uas_overrides)
     log(f"kkt_solver: {kkt}  obstacle_form: {obs_form}")
     shoot = int(
         os.environ.get(

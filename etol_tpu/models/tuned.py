@@ -41,10 +41,15 @@ _TUNED = {
     # equal objectives), and 256 walk + 16 goal-pulled seeds shift it
     # again (p50 41). Swept on-chip (tools/uas_r5.py): solved 1.0000
     # across 8 scattered batches -> 2736 cold / 9945 warm solves/s/chip
+    # ls_grid=16: under pieces containment the dense 24-alpha grid is
+    # unnecessary (solved 1.0000 down to ls12 on CPU; the dense-grid
+    # need was a band-row pathology) and 16 is the on-chip sweet spot
+    # (2730 -> 2835 cold, 9964 -> 10398 warm; ls12 is SLOWER than ls24
+    # on-chip — XLA tiling, keep 16)
     "uas_2d": (
         dict(max_outer=64, max_inner=100, rho0=1000.0,
              rho_growth=3.16, lm_rule="ratio", round_viol_patience=4,
-             max_total=42),
+             max_total=42, ls_grid=16, ls_backtracks=16),
         ((2, 20), (8, 40), (32, 128)),
     ),
     # point_mass_3d N=40 (CDF p50 55 / p99 101 / max 175) -> 2002/s
