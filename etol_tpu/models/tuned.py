@@ -31,7 +31,8 @@ _TUNED = {
     # the last ~0.2% of lanes at trivial cost
     "double_integrator_2d": (
         dict(max_outer=64, rho0=1000.0, rho_growth=3.16,
-             lm_rule="ratio", round_viol_patience=4, max_total=26),
+             lm_rule="ratio", round_viol_patience=4, max_total=26,
+             ls_grid=16, ls_backtracks=16),
         ((4, 16), (32, 512)),
     ),
     # uas_2d N=50, r5 retune: obstacle exclusion through the
@@ -55,7 +56,8 @@ _TUNED = {
     # point_mass_3d N=40 (CDF p50 55 / p99 101 / max 175) -> 2002/s
     "point_mass_3d": (
         dict(max_outer=64, rho0=1000.0, rho_growth=3.16,
-             lm_rule="ratio", round_viol_patience=4, max_total=70),
+             lm_rule="ratio", round_viol_patience=4, max_total=70,
+             ls_grid=16, ls_backtracks=16),
         ((4, 64), (16, 256)),
     ),
     # fixed_wing_3dof N=100, r5: radau scheme (the r4-measured ~10%
@@ -69,7 +71,8 @@ _TUNED = {
     # rho0=316 kept (1000 is ~15% faster, ~10% worse objectives, r4).
     "fixed_wing_3dof": (
         dict(max_outer=64, rho0=316.0, lm_rule="ratio",
-             round_viol_patience=8, max_total=124, chord_steps=2),
+             round_viol_patience=8, max_total=124, chord_steps=2,
+             ls_grid=16, ls_backtracks=16),
         ((2, 18), (8, 64), (32, 256)),
     ),
 }
