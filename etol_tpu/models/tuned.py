@@ -47,11 +47,16 @@ _TUNED = {
     # need was a band-row pathology) and 16 is the on-chip sweet spot
     # (2730 -> 2835 cold, 9964 -> 10398 warm; ls12 is SLOWER than ls24
     # on-chip — XLA tiling, keep 16)
+    # r5 schedule retune on the pieces CDF: rho0=3160 + growth 5.6
+    # moves the CDF to p50 32 / p99 47 / max 60 at BETTER objectives
+    # (10.677 vs 10.738 solved-lane mean) — the old "high rho0 is
+    # harmful" finding was another band-row artifact. On-chip: 3405
+    # cold / 14813 warm solves/s, solved 1.0000 across 8 batches.
     "uas_2d": (
-        dict(max_outer=64, max_inner=100, rho0=1000.0,
-             rho_growth=3.16, lm_rule="ratio", round_viol_patience=4,
-             max_total=42, ls_grid=16, ls_backtracks=16),
-        ((2, 20), (8, 40), (32, 128)),
+        dict(max_outer=64, max_inner=100, rho0=3160.0,
+             rho_growth=5.6, lm_rule="ratio", round_viol_patience=4,
+             max_total=33, ls_grid=16, ls_backtracks=16),
+        ((2, 16), (8, 32), (32, 96)),
     ),
     # point_mass_3d N=40 (CDF p50 55 / p99 101 / max 175) -> 2002/s
     "point_mass_3d": (
@@ -77,11 +82,11 @@ _TUNED = {
     ),
 }
 
-# warm fleet-MPC re-solve phase for uas_2d. r5 (pieces containment):
-# warm CDF p50 2 / p90 7 / p99 16 / max 29 -> budget 14 + the ladder
-# below = 9945 warm solves/s at warm_solved 1.0000 (budget 12 reaches
-# 10.8k/s but strands 0.7% of lanes)
-WARM_UAS_2D = (dict(max_total=14), ((8, 32), (32, 128)))
+# warm fleet-MPC re-solve phase for uas_2d. r5 (pieces containment +
+# the rho0=3160/g5.6 cold schedule): warm CDF p50 2 / p90 3 / p99 6 /
+# max 22 -> budget 7 + the ladder below = 14813 warm solves/s at
+# warm_solved 1.0000 (budget 6: 16.4k/s but strands 0.14%)
+WARM_UAS_2D = (dict(max_total=7), ((8, 24), (32, 96)))
 
 # model-level transcription/seed choices that pair with the solver
 # configs above (the bench and examples read these; the library-wide
