@@ -29,11 +29,14 @@ _TUNED = {
     # inflation was costing 4.485 -> 4.024); on-chip solved 1.0000 ->
     # 11378 solves/s/chip (was 2586) — the deep B/32 tail stage closes
     # the last ~0.2% of lanes at trivial cost
+    # + the r5 schedule retune (rho0 3160 / growth 5.6, like uas):
+    # CDF p50 25 -> 18; on-chip 14820 solves/s at solved 1.0000
+    # (budget 18 strands 10% — 20 is the knee)
     "double_integrator_2d": (
-        dict(max_outer=64, rho0=1000.0, rho_growth=3.16,
-             lm_rule="ratio", round_viol_patience=4, max_total=26,
+        dict(max_outer=64, rho0=3160.0, rho_growth=5.6,
+             lm_rule="ratio", round_viol_patience=4, max_total=20,
              ls_grid=16, ls_backtracks=16),
-        ((4, 16), (32, 512)),
+        ((4, 10), (32, 256)),
     ),
     # uas_2d N=50, r5 retune: obstacle exclusion through the
     # convex-piece softmin containment alone (obstacle_form="pieces" —
@@ -58,12 +61,14 @@ _TUNED = {
              max_total=33, ls_grid=16, ls_backtracks=16),
         ((2, 16), (8, 32), (32, 96)),
     ),
-    # point_mass_3d N=40 (CDF p50 55 / p99 101 / max 175) -> 2002/s
+    # point_mass_3d N=40, r5: sep_assembly (trapezoidal) + ls16 + the
+    # rho0 3160 / growth 5.6 schedule (CDF p50 54 -> 42, max 175 -> 80
+    # at equal objectives) -> 4724 solves/s on-chip at solved 1.0000
     "point_mass_3d": (
-        dict(max_outer=64, rho0=1000.0, rho_growth=3.16,
-             lm_rule="ratio", round_viol_patience=4, max_total=70,
+        dict(max_outer=64, rho0=3160.0, rho_growth=5.6,
+             lm_rule="ratio", round_viol_patience=4, max_total=42,
              ls_grid=16, ls_backtracks=16),
-        ((4, 64), (16, 256)),
+        ((2, 16), (8, 32), (32, 96)),
     ),
     # fixed_wing_3dof N=100, r5: radau scheme (the r4-measured ~10%
     # shipped at last) + chord_steps=2 — the obstacle-free fw is where
