@@ -266,15 +266,27 @@ def fleet_batch(argv: Optional[Sequence[str]] = None) -> int:
     bdata = dataclasses.replace(bdata, x0=x0)
 
     mesh = make_mesh()
-    # the bench-winning recipe (tools/sweep_r3.py rvp41krg3): shooting
-    # seeds + high rho0 + fast ramp; p99 of the iteration CDF is ~133,
-    # so a 160-iteration budget solves the whole fleet
-    cfg = SolverConfig(
-        max_outer=64, rho0=1000.0, rho_growth=3.16,
-        round_viol_patience=4, max_total=160,
+    # the benchmarked registry pairing (models/tuned.py): pieces
+    # containment + walk/pulled seeds + the r5 penalty schedule.
+    # solve_sharded is a single unstaged solve, so the budget is the
+    # registry's CUMULATIVE guarantee (phase + stage budgets — CDF max
+    # is ~60, so this solves the whole fleet outright)
+    from .models.tuned import tuned_config, tuned_extras
+
+    ex = tuned_extras("uas_2d")
+    if "obstacle_form" in ex:
+        nlp = dataclasses.replace(
+            nlp, obstacle_form=ex["obstacle_form"]
+        )
+    cfg, raw = tuned_config("uas_2d", kkt_solver=None)
+    cfg = dataclasses.replace(
+        cfg, max_total=cfg.max_total + sum(b for _, b in raw)
     )
     seed = jax.jit(lambda d: jax.vmap(
-        lambda dat: shooting.plan_guess(nlp, dat, 256))(d))
+        lambda dat: shooting.plan_guess(
+            nlp, dat, ex.get("seed_walks", 256),
+            pulled=ex.get("seed_pulled", 0),
+        ))(d))
     t0 = time.time()
     res = solve_sharded(nlp, cfg, bdata, mesh, z0=seed(bdata))
     jax.block_until_ready(res.z)
