@@ -139,3 +139,53 @@ def test_tuned_extras_registry():
     ex["obstacle_form"] = "mutated"
     assert tuned_extras("uas_2d")["obstacle_form"] != "mutated"
     assert tuned_extras("no_such_model") == {}
+
+
+def test_tuned_uas_quality_no_drift():
+    """Throughput retunes must not quietly trade away solution quality:
+    the registry uas config (pieces containment + seeds + its tight
+    budgets) must land objectives within 2% of a fat-budget reference
+    solve of the same transcription on a scattered mini-fleet. (r5
+    context: the band->pieces switch and the rho0=3160 schedule were
+    BOTH accepted partly on objective grounds — this pins that.)"""
+    import dataclasses
+
+    import jax
+
+    from etol_tpu.bench_harness import make_batch
+    from etol_tpu.models import uas_2d
+    from etol_tpu.models.tuned import tuned_config, tuned_extras
+    from etol_tpu.solve import al_sqp, shooting
+
+    B = 16
+    vgp, nlp = uas_2d(nsteps=50)
+    ex = tuned_extras("uas_2d")
+    nlp = dataclasses.replace(nlp, obstacle_form=ex["obstacle_form"])
+    data, dims = vgp.to_device()
+    bdata = make_batch(nlp, data, B, jax.random.PRNGKey(5))
+    cfg, stages = tuned_config("uas_2d", batch=B, kkt_solver="scan")
+    z0 = jax.vmap(
+        lambda d: shooting.plan_guess(
+            nlp, d, ex["seed_walks"], pulled=ex["seed_pulled"]
+        )
+    )(bdata)
+    # cumulative budget (ladder shapes are meaningless at B=16)
+    cum = cfg.max_total + sum(b for _, b in stages)
+    res = al_sqp.solve_batched(
+        nlp, dataclasses.replace(cfg, max_total=cum), bdata, z0
+    )
+    assert bool(jnp.all(res.status == 1)), res.status
+    # fat-budget reference: generous iterations, same transcription
+    ref_cfg = dataclasses.replace(
+        cfg, max_total=600, rho0=1000.0, rho_growth=2.0
+    )
+    ref = al_sqp.solve_batched(nlp, ref_cfg, bdata, z0)
+    ok = ref.status == 1
+    import numpy as np
+
+    r = np.asarray(res.obj)[np.asarray(ok)]
+    f = np.asarray(ref.obj)[np.asarray(ok)]
+    assert ok.sum() >= B - 1
+    # mean within 2%; no instance more than 10% worse (basin wobble)
+    assert float(np.mean(r) / np.mean(f)) <= 1.02, (r.mean(), f.mean())
+    assert float(np.max(r / f)) <= 1.10, np.max(r / f)
