@@ -189,3 +189,47 @@ def test_tuned_uas_quality_no_drift():
     # mean within 2%; no instance more than 10% worse (basin wobble)
     assert float(np.mean(r) / np.mean(f)) <= 1.02, (r.mean(), f.mean())
     assert float(np.max(r / f)) <= 1.10, np.max(r / f)
+
+
+def test_tuned_fw_quality_no_drift():
+    """Same guard for the fixed-wing chord composite: its ~1.2%
+    objective delta vs the pure-Newton path is measured and documented
+    (docs/perf.md r5) — pin it at <= 3% mean so a future chord/schedule
+    sweep cannot quietly grow it."""
+    import dataclasses
+
+    import jax
+
+    from etol_tpu import batch_tile
+    from etol_tpu.models import fixed_wing_3dof
+    from etol_tpu.models.tuned import tuned_config, tuned_extras
+    from etol_tpu.solve import al_sqp
+
+    B = 8
+    vgp, nlp = fixed_wing_3dof()
+    ex = tuned_extras("fixed_wing_3dof")
+    nlp = dataclasses.replace(nlp, scheme=ex["scheme"])
+    data, dims = vgp.to_device()
+    bdata = batch_tile(data, B)
+    key = jax.random.PRNGKey(2)
+    d = jax.random.uniform(key, (B, dims.nx), minval=-0.05,
+                           maxval=0.05).astype(jnp.float32)
+    mask = jnp.zeros((dims.nx,)).at[jnp.asarray([0, 1])].set(1.0)
+    bdata = dataclasses.replace(bdata, x0=bdata.x0 + d * mask)
+    cfg, stages = tuned_config("fixed_wing_3dof", batch=B,
+                               kkt_solver="scan")
+    cum = cfg.max_total + sum(b for _, b in stages)
+    res = al_sqp.solve_batched(
+        nlp, dataclasses.replace(cfg, max_total=cum), bdata
+    )
+    assert bool(jnp.all(res.status == 1)), res.status
+    ref = al_sqp.solve_batched(
+        nlp,
+        dataclasses.replace(cfg, chord_steps=0, max_total=400),
+        bdata,
+    )
+    ok = np.asarray(ref.status) == 1
+    r = np.asarray(res.obj)[ok]
+    f = np.asarray(ref.obj)[ok]
+    assert ok.sum() >= B - 1
+    assert float(np.mean(r) / np.mean(f)) <= 1.03, (r.mean(), f.mean())
