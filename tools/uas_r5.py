@@ -104,13 +104,21 @@ def main():
             run("r4 shipped (both, 83 + 2:32/8:96/32:1024)", nlp, 83,
                 ((2, 32), (8, 96), (32, 1024)))
         elif v == "ship":
-            # the r5 SHIPPED config (models/tuned.py): solved 1.0000
-            # across 8 scattered batches, ~2736 solves/s on a v5e.
-            # NOTE: a p50-sized phase-1 budget needs a B/2-capacity
-            # first stage — B/8 ladders strand the ~half of lanes the
-            # budget leaves unfinished (first sweep's mistake)
-            run("pieces 42 + 2:20/8:40/32:128 w256+pull16", nlp_p, 42,
-                ((2, 20), (8, 40), (32, 128)), pulled=16, walks=256)
+            # the SHIPPED config, read live from the registry (final
+            # r5: rho0 3160/g5.6, 33 + 2:16/8:32/32:96, ls16 — 3369
+            # cold solves/s at solved 1.000 in BENCH_r05). NOTE: a
+            # p50-sized phase-1 budget needs a B/2-capacity first
+            # stage — B/8 ladders strand the ~half of lanes the budget
+            # leaves unfinished (first sweep's mistake)
+            # run() already builds its cfg from the registry overrides,
+            # so only budget/stages/seeds need passing
+            sov, sstages = _TUNED["uas_2d"]
+            from etol_tpu.models.tuned import tuned_extras
+
+            sex = tuned_extras("uas_2d")
+            run("SHIPPED registry config", nlp_p, sov["max_total"],
+                sstages, pulled=sex.get("seed_pulled", 0),
+                walks=sex.get("seed_walks", 512))
         elif v == "p40":
             run("pieces 40 + 2:24/8:48/32:128 w256+pull16", nlp_p, 40,
                 ((2, 24), (8, 48), (32, 128)), pulled=16, walks=256)
