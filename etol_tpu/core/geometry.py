@@ -54,11 +54,16 @@ def point_in_polygon(point: Sequence[float], poly: Array) -> bool:
     eOMPL.cpp:70-94): boundary points count as inside."""
     from . import _native
 
-    nat = _native.point_in_polygon(point, np.asarray(poly, dtype=np.float64))
+    # corners may carry a stored z column (reference corner_t,
+    # ETOL_Types.hpp:59) — the test is on the xy footprint, and the
+    # native kernel reads 2 doubles per point
+    poly = np.ascontiguousarray(
+        np.asarray(poly, dtype=np.float64)[:, :2]
+    )
+    nat = _native.point_in_polygon(point, poly)
     if nat is not None:
         return nat
     x, y = float(point[0]), float(point[1])
-    poly = np.asarray(poly, dtype=np.float64)
     n = len(poly)
     inside = False
     for i in range(n):

@@ -108,3 +108,30 @@ def test_edge_ellipses_cover_edges():
         dely = st * dx + ct * dy
         val = asq * bsq - (bsq * delx**2 + asq * dely**2)
         assert val == pytest.approx(0.0, abs=1e-9)
+
+
+def test_point_in_polygon_3d_corners():
+    """Obstacle arrays may carry a stored z column (reference corner_t,
+    ETOL_Types.hpp:59; stored since the r5 lossless XML round trip).
+    The xy footprint test must accept them — on BOTH the native path
+    and the pure-Python fallback (the native kernel reads 2 doubles per
+    point, so the wrapper must slice before the call)."""
+    import numpy as np
+
+    from etol_tpu.core import _native
+
+    sq3 = np.array(
+        [[0.0, 0.0, 7.0], [1.0, 0.0, 7.0], [1.0, 1.0, 7.0],
+         [0.0, 1.0, 7.0]]
+    )
+    assert g.point_in_polygon([0.5, 0.5], sq3)
+    assert not g.point_in_polygon([1.5, 0.5], sq3)
+    if _native.available():
+        # force the fallback too
+        import unittest.mock as mock
+
+        with mock.patch.object(
+            _native, "point_in_polygon", lambda *a: None
+        ):
+            assert g.point_in_polygon([0.5, 0.5], sq3)
+            assert not g.point_in_polygon([1.5, 0.5], sq3)
