@@ -89,7 +89,13 @@ def make_batch(nlp, data, B, key):
 
 
 def main():
-    B = int(os.environ.get("BENCH_BATCH", "1024"))
+    # r5 batch-size sweep on the shipped config (same session, solved
+    # 1.0000 everywhere): B=1024 2891/s, B=2048 3221/s (+11% — the
+    # program is op-overhead-bound, docs/perf.md, and the larger batch
+    # amortizes it), B=4096 3108/s (VMEM pressure takes it back). The
+    # full bench at 2048 also lifts warm fleet 14876 -> 15760/s with
+    # unchanged p50 MPC latency. 2048 ships.
+    B = int(os.environ.get("BENCH_BATCH", "2048"))
     nsteps = int(os.environ.get("BENCH_NSTEPS", "50"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
 
