@@ -114,6 +114,9 @@ def run_config(name, nlp, bdata, cfg, stages, shoot=0, reps=3,
 
 def main():
     which = set(sys.argv[1:]) or {"pm20", "pm3d", "fw100", "fleet4096"}
+    # batch multiplier for B-amortization sweeps (the r5 headline
+    # finding: op-overhead-bound programs gain ~11% at 2x batch)
+    mul = int(os.environ.get("LADDER_BMUL", "1"))
     kkt = "pallas" if jax.default_backend() == "tpu" else "scan"
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
@@ -128,10 +131,10 @@ def main():
         nlp, _ = apply_extras(nlp, "double_integrator_2d")
         data, dims = vgp.to_device()
         bdata = scatter_x0(
-            data, 1024, 0.4, [0, 1], jax.random.PRNGKey(0)
+            data, 1024 * mul, 0.4, [0, 1], jax.random.PRNGKey(0)
         )
         cfg, stages = tuned_config(
-            "double_integrator_2d", batch=1024, kkt_solver=kkt
+            "double_integrator_2d", batch=1024 * mul, kkt_solver=kkt
         )
         run_config("point-mass 2D N=20", nlp, bdata, cfg, stages)
 
@@ -139,10 +142,10 @@ def main():
         vgp, nlp = point_mass_3d(nsteps=40)
         data, dims = vgp.to_device()
         bdata = scatter_x0(
-            data, 1024, 0.3, [0, 1, 2], jax.random.PRNGKey(1)
+            data, 1024 * mul, 0.3, [0, 1, 2], jax.random.PRNGKey(1)
         )
         cfg, stages = tuned_config(
-            "point_mass_3d", batch=1024, kkt_solver=kkt
+            "point_mass_3d", batch=1024 * mul, kkt_solver=kkt
         )
         run_config("3D moving obstacles N=40", nlp, bdata, cfg, stages)
 
@@ -151,10 +154,10 @@ def main():
         nlp, _ = apply_extras(nlp, "fixed_wing_3dof")
         data, dims = vgp.to_device()
         bdata = scatter_x0(
-            data, 256, 0.05, [0, 1], jax.random.PRNGKey(2)
+            data, 256 * mul, 0.05, [0, 1], jax.random.PRNGKey(2)
         )
         cfg, stages = tuned_config(
-            "fixed_wing_3dof", batch=256, kkt_solver=kkt
+            "fixed_wing_3dof", batch=256 * mul, kkt_solver=kkt
         )
         run_config("fixed-wing 3-DOF N=100", nlp, bdata, cfg, stages)
 
@@ -163,10 +166,10 @@ def main():
         nlp, ex = apply_extras(nlp, "uas_2d")
         data, dims = vgp.to_device()
         bdata = scatter_x0(
-            data, 4096, 0.5, [0, 1], jax.random.PRNGKey(3)
+            data, 4096 * mul, 0.5, [0, 1], jax.random.PRNGKey(3)
         )
         cfg, stages = tuned_config(
-            "uas_2d", batch=4096, kkt_solver=kkt
+            "uas_2d", batch=4096 * mul, kkt_solver=kkt
         )
         run_config(
             "UAS fleet MPC N=50 B=4096", nlp, bdata, cfg, stages,
