@@ -112,7 +112,7 @@ def main():
     # at every node — audited below). The edge-ellipse band rows
     # double-cover the boundary but their concave curvature is what
     # dragged the iteration CDF (p50 85 -> 48; docs/perf.md r5).
-    from etol_tpu.models.tuned import tuned_extras
+    from etol_tpu.models.tuned import _TUNED, tuned_extras
 
     _extras_cfg = tuned_extras("uas_2d")
     obs_form = os.environ.get(
@@ -125,9 +125,7 @@ def main():
     # exits + the r5 ls_grid=16; the sweep provenance lives in the
     # registry comments and docs/perf.md). BENCH_RG env still overrides
     # the penalty growth for A/B runs.
-    from etol_tpu.models.tuned import _TUNED as _TUNED_REG
-
-    _uas_overrides = dict(_TUNED_REG["uas_2d"][0])
+    _uas_overrides = dict(_TUNED["uas_2d"][0])
     _uas_overrides["rho_growth"] = float(
         os.environ.get("BENCH_RG", str(
             _uas_overrides.get("rho_growth", 3.16)))
@@ -150,13 +148,10 @@ def main():
     # compaction ladder: each stage continues the unfinished tail warm
     # at a fraction of the per-iteration cost (the capacity of stage 1
     # must hold the ~half of lanes a p50 budget leaves unfinished).
-    # r5 sweep (tools/uas_r5.py, pieces containment + pulled seeds):
-    # budget 42 + (B/2 x 20, B/8 x 40, B/32 x 128) = solved 1.0000
-    # across 8 scattered batches at ~2736 solves/s.
-    # defaults come from the measured per-model registry
-    # (models/tuned.py — the same numbers the ladder tool uses)
-    from etol_tpu.models.tuned import _TUNED
-
+    # The operative budget/stage numbers live in the registry read
+    # below (models/tuned.py, single source of truth — sweep
+    # provenance in its comments and docs/perf.md); env vars override
+    # for A/B runs only.
     _tuned_uas, _tuned_stages = _TUNED["uas_2d"]
     cold_budget = int(
         os.environ.get("BENCH_BUDGET0", str(_tuned_uas["max_total"]))
@@ -322,10 +317,10 @@ def main():
     # warm fleet-MPC throughput: re-solve the batch with perturbed x0,
     # warm-started from the previous solution (steady-state fleet MPC —
     # the production workload; eGurobi changeX0 fast path at scale).
-    # Warm CDF measured r5 under pieces containment: p50 2 / p90 7 /
-    # p99 16 / max 29 iterations. Budget 14 + (B/8 x 32, B/32 x 128)
-    # swept best at warm_solved 1.0000 (~9.9k/s); budget 12 reaches
-    # 10.8k/s but strands 0.7% of lanes.
+    # The operative warm budget/stages come from WARM_UAS_2D in the
+    # registry (models/tuned.py; final r5 warm CDF p50 2 / p99 6 /
+    # max 22 — sweep provenance in docs/perf.md: one budget notch
+    # lower gains ~12% but strands 0.14% of lanes, so the knee ships).
     from etol_tpu.models.tuned import WARM_UAS_2D
 
     warm_budget = int(

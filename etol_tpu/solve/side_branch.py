@@ -229,6 +229,15 @@ class _Node:
     #                         halve the violation (certificate evidence)
 
 
+def _next_stagn(stagn: int, stagnant_now: bool) -> int:
+    """Consecutive-stagnation counter for the infeasibility
+    certificate: a retry that fails to halve the violation extends the
+    run; one that improves RESETS it (the certificate's 'two
+    consecutive non-halving retries' must mean consecutive — see the
+    requeue site in solve_exact)."""
+    return (stagn + 1) if stagnant_now else 0
+
+
 def solve_exact(
     nlp: NLP,
     cfg: SolverConfig,
@@ -439,7 +448,10 @@ def solve_exact(
                         node, z0=zs[i].copy(), lam=lam_i,
                         rho=float(np.asarray(res.rho[i])),
                         retries=node.retries + 1, prev_viol=v,
-                        stagn=node.stagn + int(stagnant_now),
+                        # an improving retry resets the count (else a
+                        # converging node whose early retries stagnated
+                        # could be pruned as certified-infeasible)
+                        stagn=_next_stagn(node.stagn, stagnant_now),
                     )
                     continue
                 if v > feas_tol:

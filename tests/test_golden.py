@@ -551,3 +551,21 @@ def test_exact_composes_binary_param_with_obstacle_explicit():
         & (X[:, 1] > -0.4 + eps) & (X[:, 1] < 0.4 - eps)
     )
     assert not inside.any(), X
+
+
+def test_stagnation_counter_resets_on_improvement():
+    """The infeasibility certificate demands two CONSECUTIVE
+    non-halving retries; a retry that halves the violation must reset
+    the run (else a slowly-converging feasible node could be pruned
+    with certified=True — r5 review finding)."""
+    from etol_tpu.solve.side_branch import _next_stagn
+
+    # stagnant retries extend the run
+    assert _next_stagn(0, True) == 1
+    assert _next_stagn(1, True) == 2
+    # an improving retry resets it — the sequence
+    # stagnant, improving, stagnant never reaches 2
+    s = 0
+    for stagnant in (True, False, True):
+        s = _next_stagn(s, stagnant)
+    assert s == 1

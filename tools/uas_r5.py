@@ -84,6 +84,7 @@ def main():
         t0 = time.time()
         acc = jnp.float32(0.0)
         sf = []
+        reps = min(reps, len(more))  # t below divides by the ACTUAL count
         for d in more[:reps]:
             o = goj(d)
             acc = acc + o[0]
